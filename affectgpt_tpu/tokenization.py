@@ -1,0 +1,120 @@
+"""Tokenizer loading with modality patch tokens.
+
+Parity with the reference loader (reference:
+my_affectgpt/models/tokenizer.py `load_tokenizer_from_LLM`): per-LLM
+bos fix (Qwen uses <|im_start|>), pad=eos, and the six modality patch
+tokens registered as special tokens. Also provides a dependency-free
+ByteTokenizer with the same interface for tests and tiny models.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+from affectgpt_tpu import constants, paths
+
+
+class TokenizerWrapper:
+    """Uniform interface over HF tokenizers: ids for specials + plain encode."""
+
+    def __init__(self, hf_tokenizer):
+        self.hf = hf_tokenizer
+        vocab = hf_tokenizer.get_vocab()
+        self.patch_token_ids: Dict[str, int] = {
+            tok: vocab[tok] for tok in constants.ALL_PATCH_TOKENS
+        }
+        self.bos_token_id = hf_tokenizer.bos_token_id
+        self.eos_token_id = hf_tokenizer.eos_token_id
+        self.pad_token_id = hf_tokenizer.pad_token_id
+        self.vocab_size = len(vocab)
+
+    def encode(self, text: str, max_length: int | None = None) -> List[int]:
+        ids = self.hf(
+            text,
+            return_tensors=None,
+            add_special_tokens=False,
+            truncation=max_length is not None,
+            max_length=max_length,
+        )["input_ids"]
+        return list(ids)
+
+    def decode(self, ids, skip_special_tokens: bool = False) -> str:
+        return self.hf.decode(list(ids), skip_special_tokens=skip_special_tokens)
+
+
+def load_tokenizer(model_name: str) -> TokenizerWrapper:
+    """Load the LLM tokenizer and register patch tokens (reference:
+    models/tokenizer.py:31-45)."""
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(paths.PATH_TO_LLM[model_name], use_fast=True)
+    if model_name in ("Qwen2", "Qwen25"):
+        tokenizer.bos_token = "<|im_start|>"
+    tokenizer.pad_token = tokenizer.eos_token
+    for tok in constants.ALL_PATCH_TOKENS:
+        tokenizer.add_tokens([tok], special_tokens=True)
+    return TokenizerWrapper(tokenizer)
+
+
+class ByteTokenizer:
+    """Deterministic byte-level tokenizer with the TokenizerWrapper interface.
+
+    Bytes 0-255 map to ids 0-255; specials and patch tokens get ids above.
+    Used by the test-suite and tiny-model smoke paths where no HF tokenizer
+    files exist (this framework must be exercisable without pretrained
+    assets, unlike the reference which hard-requires downloaded LLMs).
+    """
+
+    def __init__(self):
+        self.bos_token_id = 256
+        self.eos_token_id = 257
+        self.pad_token_id = 257  # pad == eos, matching the reference convention
+        self.patch_token_ids = {
+            tok: 258 + i for i, tok in enumerate(constants.ALL_PATCH_TOKENS)
+        }
+        self.vocab_size = 258 + len(constants.ALL_PATCH_TOKENS)
+
+    def encode(self, text: str, max_length: int | None = None) -> List[int]:
+        ids: List[int] = []
+        rest = text
+        while rest:
+            matched = False
+            for tok, tok_id in self.patch_token_ids.items():
+                if rest.startswith(tok):
+                    ids.append(tok_id)
+                    rest = rest[len(tok):]
+                    matched = True
+                    break
+            if not matched:
+                ids.extend(rest[0].encode("utf-8", errors="replace"))
+                rest = rest[1:]
+        if max_length is not None:
+            ids = ids[:max_length]
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = False) -> str:
+        inverse = {v: k for k, v in self.patch_token_ids.items()}
+        out: List[str] = []
+        byte_buf: List[int] = []
+
+        def flush():
+            if byte_buf:
+                out.append(bytes(byte_buf).decode("utf-8", errors="replace"))
+                byte_buf.clear()
+
+        for token_id in ids:
+            token_id = int(token_id)
+            if token_id < 256:
+                byte_buf.append(token_id)
+            elif token_id == self.bos_token_id or token_id == self.eos_token_id:
+                flush()
+                if not skip_special_tokens:
+                    out.append("<s>" if token_id == self.bos_token_id else "</s>")
+            elif token_id in inverse:
+                flush()
+                if not skip_special_tokens:
+                    out.append(inverse[token_id])
+            else:
+                flush()
+        flush()
+        return "".join(out)
