@@ -1,0 +1,294 @@
+"""Qwen2/2.5-family causal decoder with fused LoRA, TPU-native.
+
+Replaces the reference's HF `AutoModelForCausalLM` + PEFT wrapper
+(reference: my_affectgpt/models/affectgpt.py:92-133) with a functional
+JAX implementation designed for the MXU:
+
+- GQA attention with RoPE, fp32 softmax, bf16 weights.
+- LoRA adapters on q/k/v/o and gate/up/down of every layer (the
+  reference's target set, affectgpt.py:113-121) computed as a parallel
+  low-rank branch: y = W·x + (α/r)·B·(A·x). The frozen base matmul and
+  the two skinny LoRA matmuls batch onto the MXU; no weight
+  materialization of W+BA, so HBM traffic stays at base-weight size.
+- Accepts precomputed `inputs_embeds` (the multimodal splice path) like
+  the reference's inputs_embeds forward (affectgpt.py:1019-1027).
+- Single-source attention used for both full-sequence training and
+  KV-cache decode (decode passes cache and position offsets).
+
+Weight layout matches HF Qwen2 for direct checkpoint conversion:
+q/k/v have biases, o does not; gate/up/down are bias-free; RMSNorm.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from affectgpt_tpu.models import nn
+
+
+@dataclass(frozen=True)
+class QwenConfig:
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: int = 128
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = False
+    lora_r: int = 16
+    lora_alpha: float = 32.0
+
+    @classmethod
+    def qwen25_7b(cls, vocab_size: int = 152064, lora_r: int = 16):
+        """Qwen2.5-7B-Instruct geometry (the reference's production LLM)."""
+        return cls(vocab_size=vocab_size, lora_r=lora_r)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 300, lora_r: int = 2):
+        return cls(
+            vocab_size=vocab_size, hidden_size=32, intermediate_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+            rope_theta=10_000.0, lora_r=lora_r, lora_alpha=4.0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Init
+
+
+def _lora_init(rng, in_dim: int, out_dim: int, r: int, dtype=jnp.float32):
+    ka, _ = jax.random.split(rng)
+    # A ~ kaiming-ish normal, B = 0 → adapter starts as identity (PEFT default)
+    return {
+        "a": (jax.random.normal(ka, (in_dim, r)) * (1.0 / jnp.sqrt(in_dim))).astype(dtype),
+        "b": jnp.zeros((r, out_dim), dtype=dtype),
+    }
+
+
+def init_params(rng: jax.Array, cfg: QwenConfig, dtype=jnp.bfloat16) -> dict:
+    """Frozen base parameters (would come from a converted HF checkpoint)."""
+    n_kv_dim = cfg.num_kv_heads * cfg.head_dim
+    n_q_dim = cfg.num_heads * cfg.head_dim
+    keys = jax.random.split(rng, cfg.num_layers + 3)
+    layers = []
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[i], 7)
+        layers.append(
+            {
+                "q_proj": nn.dense_init(k[0], cfg.hidden_size, n_q_dim, dtype=dtype),
+                "k_proj": nn.dense_init(k[1], cfg.hidden_size, n_kv_dim, dtype=dtype),
+                "v_proj": nn.dense_init(k[2], cfg.hidden_size, n_kv_dim, dtype=dtype),
+                "o_proj": nn.dense_nobias_init(k[3], n_q_dim, cfg.hidden_size, dtype=dtype),
+                "gate_proj": nn.dense_nobias_init(k[4], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),
+                "up_proj": nn.dense_nobias_init(k[5], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),
+                "down_proj": nn.dense_nobias_init(k[6], cfg.intermediate_size, cfg.hidden_size, dtype=dtype),
+                "input_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
+                "post_attn_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
+            }
+        )
+    params = {
+        "embed_tokens": nn.embedding_init(keys[-3], cfg.vocab_size, cfg.hidden_size, dtype=dtype),
+        "layers": layers,
+        "final_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = nn.dense_nobias_init(keys[-2], cfg.hidden_size, cfg.vocab_size, dtype=dtype)
+    return params
+
+
+_LORA_TARGETS = ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj")
+
+
+def init_lora(rng: jax.Array, cfg: QwenConfig, dtype=jnp.float32) -> dict:
+    """Trainable LoRA adapters for every layer's 7 target matmuls
+    (reference target set, affectgpt.py:113-121)."""
+    n_kv_dim = cfg.num_kv_heads * cfg.head_dim
+    n_q_dim = cfg.num_heads * cfg.head_dim
+    dims = {
+        "q_proj": (cfg.hidden_size, n_q_dim),
+        "k_proj": (cfg.hidden_size, n_kv_dim),
+        "v_proj": (cfg.hidden_size, n_kv_dim),
+        "o_proj": (n_q_dim, cfg.hidden_size),
+        "gate_proj": (cfg.hidden_size, cfg.intermediate_size),
+        "up_proj": (cfg.hidden_size, cfg.intermediate_size),
+        "down_proj": (cfg.intermediate_size, cfg.hidden_size),
+    }
+    layers = []
+    for i in range(cfg.num_layers):
+        k = jax.random.split(jax.random.fold_in(rng, i), len(_LORA_TARGETS))
+        layers.append(
+            {
+                name: _lora_init(k[j], *dims[name], cfg.lora_r, dtype=dtype)
+                for j, name in enumerate(_LORA_TARGETS)
+            }
+        )
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# Forward
+
+
+def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
+    y = jnp.dot(x, base["w"], preferred_element_type=jnp.float32)
+    if lora is not None:
+        z = jnp.dot(x, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
+        z = jnp.dot(z.astype(x.dtype), lora["b"].astype(x.dtype), preferred_element_type=jnp.float32)
+        y = y + scaling * z
+    if has_bias and "b" in base:
+        y = y + base["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding, HF half-split convention. x [b, t, h, d],
+    positions [b, t]."""
+    d = x.shape[-1]
+    freqs = 1.0 / (theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d))  # [d/2]
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [b, t, d/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def _attention(
+    layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray, positions: jnp.ndarray,
+    mask: jnp.ndarray, cache: Optional[dict], cache_index: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, Optional[dict]]:
+    b, t, _ = x.shape
+    scaling = cfg.lora_alpha / cfg.lora_r
+    lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
+
+    q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling).reshape(b, t, cfg.num_heads, cfg.head_dim)
+    k = _lora_dense(layer["k_proj"], lget("k_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    v = _lora_dense(layer["v_proj"], lget("v_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    new_cache = None
+    if cache is not None:
+        # decode: write new k/v at cache_index, attend over the whole cache
+        k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=1)
+        new_cache = {"k": k_cache, "v": v_cache}
+        k, v = k_cache, v_cache
+
+    groups = cfg.num_heads // cfg.num_kv_heads
+    kr = jnp.repeat(k, groups, axis=2)
+    vr = jnp.repeat(v, groups, axis=2)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kr, preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(float(cfg.head_dim))
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(vr.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vr, preferred_element_type=jnp.float32)
+    out = out.astype(x.dtype).reshape(b, t, cfg.num_heads * cfg.head_dim)
+    return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
+
+
+def _mlp(layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray) -> jnp.ndarray:
+    scaling = cfg.lora_alpha / cfg.lora_r
+    lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
+    gate = _lora_dense(layer["gate_proj"], lget("gate_proj"), x, scaling, has_bias=False)
+    up = _lora_dense(layer["up_proj"], lget("up_proj"), x, scaling, has_bias=False)
+    return _lora_dense(layer["down_proj"], lget("down_proj"), jax.nn.silu(gate) * up, scaling, has_bias=False)
+
+
+def forward(
+    params: dict,
+    cfg: QwenConfig,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    lora: Optional[dict] = None,
+    positions: Optional[jnp.ndarray] = None,
+    cache: Optional[list] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[list]]:
+    """Run the decoder stack.
+
+    inputs_embeds [b, t, d]; attention_mask:
+      - training/prefill: [b, t] validity (causal mask built internally), or
+      - decode (cache given): [b, t, max_len] explicit key mask.
+    Returns (logits [b, t, vocab], new_cache or None).
+    """
+    b, t, _ = inputs_embeds.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(t)[None, :], (b, t))
+
+    if cache is None:
+        causal = jnp.tril(jnp.ones((t, t), dtype=bool))
+        mask = causal[None, None, :, :] & attention_mask[:, None, None, :].astype(bool)
+    else:
+        mask = attention_mask[:, None, :, :]  # [b, 1, t, max_len]
+
+    x = inputs_embeds
+    new_cache = [] if cache is not None else None
+
+    def layer_fn(x, layer, lora_layer, layer_cache):
+        h = nn.rmsnorm(layer["input_ln"], x, cfg.rms_eps)
+        attn_out, updated = _attention(
+            layer, lora_layer, cfg, h, positions, mask, layer_cache, cache_index
+        )
+        x = x + attn_out
+        h = nn.rmsnorm(layer["post_attn_ln"], x, cfg.rms_eps)
+        x = x + _mlp(layer, lora_layer, cfg, h)
+        return x, updated
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+
+    for i, layer in enumerate(params["layers"]):
+        lora_layer = lora["layers"][i] if lora is not None else None
+        layer_cache = cache[i] if cache is not None else None
+        x, updated = layer_fn(x, layer, lora_layer, layer_cache)
+        if new_cache is not None:
+            new_cache.append(updated)
+
+    x = nn.rmsnorm(params["final_ln"], x, cfg.rms_eps)
+    if cfg.tie_embeddings:
+        logits = jnp.dot(
+            x, params["embed_tokens"]["table"].T, preferred_element_type=jnp.float32
+        )
+    else:
+        logits = jnp.dot(x, params["lm_head"]["w"], preferred_element_type=jnp.float32)
+    return logits, new_cache
+
+
+def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    return nn.embedding(params["embed_tokens"], ids)
+
+
+def init_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> list:
+    return [
+        {
+            "k": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype=dtype),
+            "v": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype=dtype),
+        }
+        for _ in range(cfg.num_layers)
+    ]
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100
+) -> jnp.ndarray:
+    """Shifted causal-LM loss with ignore-index masking, mean over valid
+    positions (the HF labels= semantics the reference relies on)."""
+    shift_logits = logits[:, :-1, :].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != ignore_index
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
+    loss_sum = -jnp.sum(jnp.where(valid, token_ll, 0.0))
+    return loss_sum / jnp.maximum(jnp.sum(valid), 1)

@@ -1,9 +1,15 @@
 """Test harness: run everything on a virtual 8-device CPU mesh so multi-chip
-sharding logic is exercised without TPU hardware."""
+sharding logic is exercised without TPU hardware.
+
+Note: this image pre-imports jax via a sitecustomize hook with
+JAX_PLATFORMS=axon (remote TPU relay). Backend selection is lazy, so we
+override the platform and XLA flags here, before any device is touched —
+plain `setdefault` would silently leave tests running over the relay.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +18,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402

@@ -1,0 +1,102 @@
+"""Image preprocessing and frame-sampling tests."""
+
+import random
+
+import jax
+import numpy as np
+
+from affectgpt_tpu import constants
+from affectgpt_tpu.ops import image as image_ops
+from affectgpt_tpu.ops import sampling
+
+
+class TestSampling:
+    def test_uniform_matches_reference_math(self):
+        # reference: indices = arange(0, vlen, vlen/n).astype(int)
+        for vlen, n in [(100, 8), (8, 8), (3, 8), (250, 8), (7, 8)]:
+            got = sampling.uniform_indices(vlen, n)
+            n_use = min(n, vlen)
+            exp = np.arange(0, vlen, vlen / n_use).astype(int).tolist()
+            while len(exp) < n:
+                exp.append(exp[-1])
+            assert got == exp, (vlen, n)
+            assert len(got) == n
+
+    def test_headtail_split(self):
+        rng = random.Random(0)
+        idx = sampling.headtail_indices(100, 8, rng)
+        assert len(idx) == 8
+        assert all(i < 50 for i in idx[:4])
+        assert all(i >= 50 for i in idx[4:])
+        assert idx[:4] == sorted(idx[:4]) and idx[4:] == sorted(idx[4:])
+
+    def test_emotion_peak_fallback_linspace(self):
+        idx = sampling.emotion_peak_indices(None, 80, 8)
+        assert idx == sorted(np.linspace(0, 79, 8).astype(int).tolist())
+
+    def test_emotion_peak_centered(self):
+        au_info = {
+            "peak_frames": [
+                {"peak_index": 40, "frames_before_peak": 40, "frames_after_peak": 39}
+            ],
+            "total_frames": 80,
+        }
+        idx = sampling.emotion_peak_indices(au_info, 80, 8)
+        assert len(idx) == 8 and len(set(idx)) == 8
+        for want in (38, 39, 40, 41, 42):
+            assert want in idx
+
+    def test_emotion_peak_tiny_video_repeats(self):
+        au_info = {
+            "peak_frames": [
+                {"peak_index": 1, "frames_before_peak": 1, "frames_after_peak": 1}
+            ],
+            "total_frames": 3,
+        }
+        idx = sampling.emotion_peak_indices(au_info, 3, 8)
+        assert len(idx) == 8
+        assert set(idx) == {0, 1, 2}
+
+    def test_clip_timepoints(self):
+        pts = sampling.clip_timepoints(10.0)
+        assert len(pts) == 8
+        assert pts[0][0] == 0.0
+        assert abs(pts[-1][1] - 10.0) < 1e-6
+        # short audio: all clips start at 0
+        pts2 = sampling.clip_timepoints(1.5)
+        assert all(s == 0.0 for s, _ in pts2)
+
+
+class TestImageOps:
+    def test_normalize_clip(self):
+        x = np.full((2, 4, 4, 3), 255, dtype=np.uint8)
+        out = np.asarray(image_ops.normalize_clip(x))
+        exp = (1.0 - np.asarray(constants.CLIP_IMAGE_MEAN)) / np.asarray(constants.CLIP_IMAGE_STD)
+        np.testing.assert_allclose(out[0, 0, 0], exp, rtol=1e-5)
+
+    def test_resize_shape_and_constant(self):
+        x = np.full((3, 50, 60, 3), 7.0, dtype=np.float32)
+        out = np.asarray(image_ops.resize(x, (224, 224)))
+        assert out.shape == (3, 224, 224, 3)
+        np.testing.assert_allclose(out, 7.0, rtol=1e-4)
+
+    def test_center_crop(self):
+        x = np.arange(10 * 10).reshape(1, 10, 10, 1).astype(np.float32)
+        out = np.asarray(image_ops.center_crop(x, 4))
+        assert out.shape == (1, 4, 4, 1)
+        assert out[0, 0, 0, 0] == x[0, 3, 3, 0]
+
+    def test_preprocess_eval(self):
+        frames = np.random.RandomState(0).randint(0, 255, (8, 120, 160, 3), dtype=np.uint8)
+        out = np.asarray(image_ops.preprocess_frames_eval(frames))
+        assert out.shape == (3, 8, 224, 224)
+
+    def test_preprocess_train_static_shape_and_determinism(self):
+        frames = np.random.RandomState(1).randint(0, 255, (8, 120, 160, 3), dtype=np.uint8)
+        rng = jax.random.PRNGKey(0)
+        out1 = np.asarray(image_ops.preprocess_frames_train(rng, frames))
+        out2 = np.asarray(image_ops.preprocess_frames_train(rng, frames))
+        assert out1.shape == (3, 8, 224, 224)
+        np.testing.assert_array_equal(out1, out2)  # seeded → reproducible
+        out3 = np.asarray(image_ops.preprocess_frames_train(jax.random.PRNGKey(7), frames))
+        assert not np.array_equal(out1, out3)  # different seed → different crop
