@@ -1,0 +1,180 @@
+"""CLIP vision + text towers, TPU-native.
+
+Replaces the reference's HF CLIPModel usage: `get_image_features` over
+raw frames is the production visual encoder (reference:
+my_affectgpt/models/encoder.py:177-208 CLIP_VIT_LARGE → [b, t, 768]),
+and the ViT-B/32 text tower encodes AU descriptions (reference:
+extract_multimodal_features_precompute.py:702-777 → [N, 512]).
+
+TPU design notes:
+- Patch embedding is computed as an unfold+matmul (a [P²·3 → width]
+  dense over non-overlapping patches) instead of a conv — identical
+  math, lands directly on the MXU with a clean [B·N, P²·3]×[P²·3, W]
+  shape.
+- Pre-LN transformer with quick_gelu (CLIP's activation), fp32 softmax.
+- Projection heads are bias-free denses, matching CLIP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from affectgpt_tpu.models import nn
+
+
+@dataclass(frozen=True)
+class ClipVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    projection_dim: int = 768
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @classmethod
+    def vit_l_14(cls):
+        """openai/clip-vit-large-patch14 vision geometry."""
+        return cls()
+
+    @classmethod
+    def tiny(cls):
+        return cls(image_size=28, patch_size=14, width=16, num_layers=2,
+                   num_heads=2, mlp_dim=32, projection_dim=12)
+
+
+@dataclass(frozen=True)
+class ClipTextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    projection_dim: int = 512
+    layer_norm_eps: float = 1e-5
+
+    @classmethod
+    def vit_b_32_text(cls):
+        """openai/clip-vit-base-patch32 text geometry (AU encoder)."""
+        return cls()
+
+    @classmethod
+    def tiny(cls):
+        return cls(vocab_size=64, context_length=16, width=16, num_layers=2,
+                   num_heads=2, mlp_dim=32, projection_dim=8)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _init_block(rng, width: int, num_heads: int, mlp_dim: int, dtype):
+    k = jax.random.split(rng, 3)
+    return {
+        "ln1": nn.layernorm_init(width, dtype=dtype),
+        "attn": nn.mha_init(k[0], width, width, num_heads, dtype=dtype),
+        "ln2": nn.layernorm_init(width, dtype=dtype),
+        "mlp_in": nn.dense_init(k[1], width, mlp_dim, dtype=dtype),
+        "mlp_out": nn.dense_init(k[2], mlp_dim, width, dtype=dtype),
+    }
+
+
+def _apply_block(block, x, num_heads: int, eps: float, mask=None):
+    h = nn.layernorm(block["ln1"], x, eps)
+    x = x + nn.mha(block["attn"], h, h, num_heads, mask)
+    h = nn.layernorm(block["ln2"], x, eps)
+    x = x + nn.dense(block["mlp_out"], quick_gelu(nn.dense(block["mlp_in"], h)))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Vision tower
+
+
+def init_vision_params(rng: jax.Array, cfg: ClipVisionConfig, dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(rng, cfg.num_layers + 4)
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    return {
+        "patch_embed": nn.dense_nobias_init(keys[0], patch_dim, cfg.width, dtype=dtype),
+        "class_embed": (jax.random.normal(keys[1], (cfg.width,)) * 0.02).astype(dtype),
+        "pos_embed": nn.embedding_init(keys[2], cfg.num_patches + 1, cfg.width, dtype=dtype),
+        "pre_ln": nn.layernorm_init(cfg.width, dtype=dtype),
+        "blocks": [
+            _init_block(keys[3 + i], cfg.width, cfg.num_heads, cfg.mlp_dim, dtype)
+            for i in range(cfg.num_layers)
+        ],
+        "post_ln": nn.layernorm_init(cfg.width, dtype=dtype),
+        "proj": nn.dense_nobias_init(keys[-1], cfg.width, cfg.projection_dim, dtype=dtype),
+    }
+
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[b, H, W, 3] → [b, n_patches, P·P·3] with channel-major patch layout
+    matching the HF conv weight reshape (O, C, kH, kW) → (C·kH·kW, O)."""
+    b, H, W, c = images.shape
+    gh, gw = H // patch_size, W // patch_size
+    x = images.reshape(b, gh, patch_size, gw, patch_size, c)
+    # → [b, gh, gw, c, ph, pw] so flattening matches torch's (C, kH, kW) order
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))
+    return x.reshape(b, gh * gw, c * patch_size * patch_size)
+
+
+def encode_image(params: dict, cfg: ClipVisionConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """images [b, H, W, 3] (CLIP-normalized floats) → [b, projection_dim].
+
+    Matches HF CLIPModel.get_image_features: embeddings → pre-LN stack →
+    post-LN on CLS → visual projection.
+    """
+    b = images.shape[0]
+    patches = patchify(images.astype(params["patch_embed"]["w"].dtype), cfg.patch_size)
+    x = nn.dense_nobias(params["patch_embed"], patches)  # [b, N, width]
+    cls = jnp.broadcast_to(params["class_embed"], (b, 1, cfg.width)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"]["table"][None, : x.shape[1]].astype(x.dtype)
+    x = nn.layernorm(params["pre_ln"], x, cfg.layer_norm_eps)
+    for block in params["blocks"]:
+        x = _apply_block(block, x, cfg.num_heads, cfg.layer_norm_eps)
+    pooled = nn.layernorm(params["post_ln"], x[:, 0], cfg.layer_norm_eps)
+    return nn.dense_nobias(params["proj"], pooled)
+
+
+# ---------------------------------------------------------------------------
+# Text tower (AU description encoder)
+
+
+def init_text_params(rng: jax.Array, cfg: ClipTextConfig, dtype=jnp.bfloat16) -> dict:
+    keys = jax.random.split(rng, cfg.num_layers + 4)
+    return {
+        "token_embed": nn.embedding_init(keys[0], cfg.vocab_size, cfg.width, dtype=dtype),
+        "pos_embed": nn.embedding_init(keys[1], cfg.context_length, cfg.width, dtype=dtype),
+        "blocks": [
+            _init_block(keys[2 + i], cfg.width, cfg.num_heads, cfg.mlp_dim, dtype)
+            for i in range(cfg.num_layers)
+        ],
+        "final_ln": nn.layernorm_init(cfg.width, dtype=dtype),
+        "proj": nn.dense_nobias_init(keys[-1], cfg.width, cfg.projection_dim, dtype=dtype),
+    }
+
+
+def encode_text(params: dict, cfg: ClipTextConfig, token_ids: jnp.ndarray) -> jnp.ndarray:
+    """token_ids [b, T] (padded with 0 after the EOT token, EOT = max id
+    position, CLIP convention) → [b, projection_dim]."""
+    b, t = token_ids.shape
+    x = nn.embedding(params["token_embed"], token_ids)
+    x = x + params["pos_embed"]["table"][None, :t].astype(x.dtype)
+    causal = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+    for block in params["blocks"]:
+        x = _apply_block(block, x, cfg.num_heads, cfg.layer_norm_eps, causal)
+    x = nn.layernorm(params["final_ln"], x, cfg.layer_norm_eps)
+    eot = jnp.argmax(token_ids, axis=-1)  # highest id == EOT token
+    pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    return nn.dense_nobias(params["proj"], pooled)
