@@ -1,0 +1,158 @@
+"""Compiled autoregressive generation: batched prefill + KV-cache decode.
+
+Replaces the reference's HF `llama_model.generate` call inside `Chat`
+(reference: my_affectgpt/conversation/conversation_video.py:303-388,
+sampling, top-p 0.9, ≤1200 new tokens, '###'/eos stopping) with a
+TPU-native engine:
+
+- The whole decode loop is ONE compiled program (lax.scan over steps),
+  not per-token Python dispatch.
+- Batched decoding of prompts with different lengths via left-packing:
+  rows are rolled so every prompt ends at the same column, so each
+  decode step writes one shared cache column (a single fused
+  dynamic_update_slice) — the reference decodes strictly batch-1.
+- Top-p (nucleus) sampling and greedy both on device; fp32 logits.
+- Stop handling: eos plus up to N single-token stop ids on device;
+  multi-token stop strings ('###') are trimmed host-side, matching the
+  reference's post-processing (conversation_video.py:380-385).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from affectgpt_tpu.models import qwen2
+
+
+@dataclass(frozen=True)
+class GenerateConfig:
+    max_new_tokens: int = 300
+    temperature: float = 1.0
+    top_p: float = 0.9
+    do_sample: bool = True
+    eos_token_id: int = 0
+    # extra ids that terminate a row (single-token stops); -1 entries ignored
+    stop_token_ids: Tuple[int, ...] = ()
+
+
+def top_p_sample(rng: jax.Array, logits: jnp.ndarray, top_p: float, temperature: float) -> jnp.ndarray:
+    """Nucleus sampling over [b, vocab] fp32 logits."""
+    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumulative = jnp.cumsum(sorted_probs, axis=-1)
+    # keep the smallest prefix with cumulative mass >= top_p
+    keep_sorted = cumulative - sorted_probs < top_p
+    # threshold logit = smallest kept logit per row
+    threshold = jnp.min(
+        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    masked = jnp.where(logits >= threshold, logits, -jnp.inf)
+    return jax.random.categorical(rng, masked, axis=-1)
+
+
+def _left_pack(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Roll each row right by (t - len) so content ends at the last column."""
+    t = x.shape[1]
+    return jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(x, t - lengths)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("llm_cfg", "gen_cfg", "max_len"),
+)
+def generate(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    gen_cfg: GenerateConfig,
+    prompt_embeds: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
+    rng: jax.Array,
+    max_len: int,
+    lora: Optional[dict] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Generate continuations for a batch of spliced prompt embeddings.
+
+    prompt_embeds [b, t_pad, d] right-padded; prompt_lengths [b].
+    max_len must be >= t_pad + max_new_tokens (KV-cache capacity).
+    Returns (tokens [b, max_new_tokens], num_valid [b]) where tokens after
+    the stop position are pad (eos).
+    """
+    b, t_pad, _ = prompt_embeds.shape
+    assert max_len >= t_pad + gen_cfg.max_new_tokens
+
+    # left-pack so all rows end at column t_pad-1
+    embeds = _left_pack(prompt_embeds, prompt_lengths)
+    pad_len = t_pad - prompt_lengths  # [b]
+    key_valid = jnp.arange(t_pad)[None, :] >= pad_len[:, None]  # [b, t_pad]
+    positions = jnp.maximum(jnp.arange(t_pad)[None, :] - pad_len[:, None], 0)
+
+    # ---- prefill ----
+    cache = qwen2.init_cache(llm_cfg, b, max_len, dtype=embeds.dtype)
+    causal = jnp.arange(max_len)[None, None, :] <= jnp.arange(t_pad)[None, :, None]
+    key_valid_full = jnp.pad(key_valid, ((0, 0), (0, max_len - t_pad)))
+    prefill_mask = causal & key_valid_full[:, None, :]
+    logits, cache = qwen2.forward(
+        frozen_llm, llm_cfg, embeds, prefill_mask,
+        lora=lora, positions=positions, cache=cache, cache_index=jnp.int32(0),
+    )
+    last_logits = logits[:, -1, :]  # every row's prompt ends at the last column
+
+    stop_ids = jnp.asarray(
+        (gen_cfg.eos_token_id,) + tuple(gen_cfg.stop_token_ids), dtype=jnp.int32
+    )
+
+    def step(carry, step_idx):
+        cache, cur_logits, done, rng, cur_pos = carry
+        rng, sample_key = jax.random.split(rng)
+        if gen_cfg.do_sample:
+            token = top_p_sample(sample_key, cur_logits, gen_cfg.top_p, gen_cfg.temperature)
+        else:
+            token = jnp.argmax(cur_logits, axis=-1)
+        token = jnp.where(done, gen_cfg.eos_token_id, token).astype(jnp.int32)
+        new_done = done | jnp.any(token[:, None] == stop_ids[None, :], axis=-1)
+
+        # embed + one decode step at shared cache column
+        tok_embeds = qwen2.embed_tokens(frozen_llm, token)[:, None, :].astype(embeds.dtype)
+        write_idx = t_pad + step_idx
+        key_mask = (jnp.arange(max_len)[None, None, :] <= write_idx) & jnp.concatenate(
+            [key_valid, jnp.ones((b, max_len - t_pad), dtype=bool)], axis=1
+        )[:, None, :]
+        logits_d, cache = qwen2.forward(
+            frozen_llm, llm_cfg, tok_embeds, key_mask,
+            lora=lora, positions=cur_pos[:, None], cache=cache,
+            cache_index=write_idx,
+        )
+        return (cache, logits_d[:, 0, :], new_done, rng, cur_pos + 1), token
+
+    init_pos = prompt_lengths.astype(jnp.int32)  # next position per row
+    init = (cache, last_logits, jnp.zeros((b,), dtype=bool), rng, init_pos)
+    (_, _, done, _, _), tokens = jax.lax.scan(
+        step, init, jnp.arange(gen_cfg.max_new_tokens, dtype=jnp.int32)
+    )
+    tokens = tokens.T  # [b, max_new_tokens]
+
+    is_stop = jnp.any(tokens[:, :, None] == stop_ids[None, None, :], axis=-1)
+    # valid length = index of first stop token (or all tokens)
+    num_valid = jnp.where(
+        jnp.any(is_stop, axis=1),
+        jnp.argmax(is_stop, axis=1),
+        gen_cfg.max_new_tokens,
+    )
+    return tokens, num_valid
+
+
+def trim_output_text(text: str) -> str:
+    """Host-side stop-string cleanup matching the reference
+    (conversation_video.py:380-385): cut at '###', strip a trailing
+    '</s>', drop a leading 'Assistant:' remnant."""
+    text = text.split("###")[0]
+    text = text.split("</s>")[0]
+    if text.startswith("Assistant:"):
+        text = text[len("Assistant:"):]
+    return text.strip()

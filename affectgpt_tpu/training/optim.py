@@ -1,0 +1,94 @@
+"""Optimizer and LR schedules.
+
+Parity with the reference training hyper-parameters:
+- `linear_warmup_cosine_lr` / `linear_warmup_step_lr` at iteration
+  resolution (reference: my_affectgpt/common/optims.py:13-121).
+- AdamW with a no-weight-decay group for ndim<2 / bias / norm params
+  (reference: runners/runner_base.py:116-149).
+- Gradient accumulation via optax.MultiSteps (reference accum_grad_iters,
+  tasks/base_task.py:167-173).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from affectgpt_tpu import registry
+
+
+@registry.register_lr_scheduler("linear_warmup_cosine_lr")
+def linear_warmup_cosine_lr(
+    init_lr: float,
+    min_lr: float,
+    warmup_steps: int,
+    total_steps: int,
+    warmup_start_lr: float = -1.0,
+    **_,
+) -> optax.Schedule:
+    warmup_start = warmup_start_lr if warmup_start_lr >= 0 else init_lr
+
+    def schedule(step):
+        step = jnp.asarray(step, dtype=jnp.float32)
+        warm = warmup_start + (init_lr - warmup_start) * jnp.minimum(step, warmup_steps) / max(warmup_steps, 1)
+        progress = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        cosine = min_lr + 0.5 * (init_lr - min_lr) * (1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cosine)
+
+    return schedule
+
+
+@registry.register_lr_scheduler("linear_warmup_step_lr")
+def linear_warmup_step_lr(
+    init_lr: float,
+    min_lr: float,
+    warmup_steps: int,
+    decay_rate: float = 1.0,
+    steps_per_epoch: int = 1,
+    warmup_start_lr: float = -1.0,
+    **_,
+) -> optax.Schedule:
+    warmup_start = warmup_start_lr if warmup_start_lr >= 0 else init_lr
+
+    def schedule(step):
+        step = jnp.asarray(step, dtype=jnp.float32)
+        warm = warmup_start + (init_lr - warmup_start) * jnp.minimum(step, warmup_steps) / max(warmup_steps, 1)
+        epoch = jnp.floor(step / max(steps_per_epoch, 1))
+        stepped = jnp.maximum(init_lr * (decay_rate ** epoch), min_lr)
+        return jnp.where(step < warmup_steps, warm, stepped)
+
+    return schedule
+
+
+def _no_decay_mask(params):
+    """True (decay) for matrices; False for vectors/scalars — the
+    reference's ndim<2 / bias / norm exclusion rule."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(
+    schedule: optax.Schedule,
+    weight_decay: float = 0.05,
+    beta2: float = 0.999,
+    max_grad_norm: Optional[float] = None,
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    chain = []
+    if max_grad_norm:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=0.9,
+            b2=beta2,
+            weight_decay=weight_decay,
+            mask=_no_decay_mask,
+        )
+    )
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx

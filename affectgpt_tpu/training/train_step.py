@@ -1,0 +1,107 @@
+"""The compiled training step: loss + grads + optimizer under pjit.
+
+TPU-native replacement for the reference hot loop body (reference:
+my_affectgpt/tasks/base_task.py:101-198: autocast forward → GradScaler
+backward → DDP all-reduce → optimizer): here the entire step — forward,
+backward, optional gradient accumulation and the dp-axis gradient
+reduction — is one XLA program. bf16 compute needs no loss scaling
+(GradScaler is a CUDA-fp16 artifact); grads/optimizer state are fp32.
+
+Only the `trainable` pytree (LoRA + mergers + projections) is
+differentiated; frozen params (LLM base, encoders) are captured as
+constants — the reference's requires_grad split (affectgpt.py:104-133).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+import optax
+
+from affectgpt_tpu.models import affectgpt
+from affectgpt_tpu.parallel import mesh as mesh_lib
+
+
+@chex.dataclass
+class TrainState:
+    step: jnp.ndarray
+    trainable: Any
+    opt_state: Any
+
+
+def create_train_state(trainable, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        trainable=trainable,
+        opt_state=tx.init(trainable),
+    )
+
+
+def make_train_step(
+    cfg: affectgpt.AffectGPTConfig,
+    tx: optax.GradientTransformation,
+    remat: bool = False,
+) -> Callable:
+    """Returns train_step(state, frozen, batch) -> (state, metrics)."""
+
+    def loss_fn(trainable, frozen, batch):
+        return affectgpt.forward_loss(frozen, trainable, cfg, batch, remat=remat)
+
+    def train_step(state: TrainState, frozen, batch) -> Tuple[TrainState, Dict]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.trainable, frozen, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(step=state.step + 1, trainable=trainable, opt_state=opt_state)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def compile_train_step(
+    mesh,
+    cfg: affectgpt.AffectGPTConfig,
+    tx: optax.GradientTransformation,
+    state: TrainState,
+    frozen,
+    remat: bool = False,
+):
+    """jit the step with explicit shardings: params/opt-state per the tp
+    rules, batch split over dp, state donated (in-place HBM update)."""
+    step_fn = make_train_step(cfg, tx, remat=remat)
+
+    # Optimizer-state leaves inherit their parameter's sharding: the optax
+    # state pytree embeds the param subtree paths (mu/nu/...), so the same
+    # path-regex rules apply directly.
+    state_sh = TrainState(
+        step=mesh_lib.replicated(mesh),
+        trainable=mesh_lib.param_shardings(mesh, state.trainable),
+        opt_state=mesh_lib.param_shardings(mesh, state.opt_state),
+    )
+    frozen_sh = mesh_lib.param_shardings(mesh, frozen)
+
+    compiled = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, frozen_sh, None),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
+    )
+    return compiled
+
+
+def shard_state(mesh, state: TrainState) -> TrainState:
+    return TrainState(
+        step=jax.device_put(state.step, mesh_lib.replicated(mesh)),
+        trainable=mesh_lib.shard_params(mesh, state.trainable),
+        opt_state=jax.device_put(
+            state.opt_state, mesh_lib.param_shardings(mesh, state.opt_state)
+        ),
+    )
