@@ -1,0 +1,134 @@
+"""Benchmark: tri-modal clip→label throughput on one TPU chip.
+
+Measures the production inference path on preextracted features — the
+configuration behind the reference's best published throughput
+(~41 clips/s on one CUDA GPU for 411 MER2023 clips, fully preextracted;
+AffectGPT/MER-UniBench/README.md:324): per clip, temporal mergers over
+CLIP(768)/HuBERT(1024) features + audio-video pre-fusion + splice into a
+~128-token prompt + batched greedy decode of 32 tokens with KV cache.
+
+The LLM geometry defaults to Qwen2.5-3B-class (the reference's documented
+single-GPU alternative, reference config.py:14) so weights + KV cache fit
+one v5e chip in bf16; the 7B flagship shards over a mesh (see
+__graft_entry__.dryrun_multichip). Batch is the main lever the reference
+leaves on the table (it decodes batch-1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
+
+BATCH = 16
+PROMPT_LEN = 128
+NEW_TOKENS = 32
+MAX_LEN = 192
+
+
+def qwen_3b_config():
+    from affectgpt_tpu.models import qwen2
+
+    return qwen2.QwenConfig(
+        vocab_size=151936, hidden_size=2048, intermediate_size=11008,
+        num_layers=36, num_heads=16, num_kv_heads=2, head_dim=128,
+    )
+
+
+def build(llm_cfg, dtype=jnp.bfloat16):
+    from affectgpt_tpu.models import affectgpt
+
+    cfg = affectgpt.AffectGPTConfig(
+        llm=llm_cfg,
+        video_fusion_type="attention", audio_fusion_type="attention",
+        multi_fusion_type="attention",
+        num_video_query_token=8, num_audio_query_token=8, num_multi_query_token=1,
+    )
+    frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg, dtype=dtype)
+    return cfg, frozen, trainable
+
+
+def make_clip_batch(cfg, b):
+    rng = np.random.RandomState(0)
+    input_ids = rng.randint(1, 1000, (b, PROMPT_LEN)).astype(np.int32)
+    offsets = {"multi": 2, "audio": 5, "face": 20, "frame": 30}
+    q = {
+        "multi": cfg.num_multi_query_token, "audio": cfg.num_audio_query_token,
+        "face": cfg.num_video_query_token, "frame": cfg.num_video_query_token,
+    }
+    for m, off in offsets.items():
+        input_ids[:, off : off + q[m]] = 0
+    feats = {
+        "frame": jnp.asarray(rng.randn(b, 8, cfg.visual_dim), jnp.bfloat16),
+        "face": jnp.asarray(rng.randn(b, 8, cfg.visual_dim), jnp.bfloat16),
+        "audio": jnp.asarray(rng.randn(b, 8, cfg.acoustic_dim), jnp.bfloat16),
+    }
+    return (
+        jnp.asarray(input_ids),
+        feats,
+        {m: jnp.full((b,), off, jnp.int32) for m, off in offsets.items()},
+    )
+
+
+def main():
+    from affectgpt_tpu.inference import generate as gen
+    from affectgpt_tpu.models import affectgpt
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", flush=True)
+
+    llm_cfg = qwen_3b_config()
+    cfg, frozen, trainable = build(llm_cfg)
+    gcfg = gen.GenerateConfig(max_new_tokens=NEW_TOKENS, do_sample=False, eos_token_id=0)
+
+    input_ids, feats, offsets = make_clip_batch(cfg, BATCH)
+    lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
+
+    @jax.jit
+    def clip_to_tokens(frozen, trainable, input_ids, feats, offsets, lengths, rng):
+        embeds = affectgpt.build_inputs_embeds(
+            frozen, trainable, cfg, input_ids, feats, offsets
+        )
+        return gen.generate(
+            frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
+            max_len=MAX_LEN, lora=trainable["lora"],
+        )
+
+    rng = jax.random.PRNGKey(0)
+    # warmup + compile
+    tokens, nv = clip_to_tokens(frozen, trainable, input_ids, feats, offsets, lengths, rng)
+    jax.block_until_ready(tokens)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        tokens, nv = clip_to_tokens(
+            frozen, trainable, input_ids, feats, offsets, lengths, jax.random.fold_in(rng, i)
+        )
+    jax.block_until_ready(tokens)
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = BATCH * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "tri-modal preextracted clips/sec/chip (3B-class LLM, bf16, 32-tok decode, batch 16)",
+                "value": round(clips_per_sec, 2),
+                "unit": "clips/s",
+                "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
