@@ -1,0 +1,251 @@
+"""Host-side media loading.
+
+The reference leans on decord/torchaudio/OpenCV C++ for demux + decode
+(reference: my_affectgpt/processors/video_processor.py:194-296,
+ImageBind/data.py:117-239). Here the host does only container/codec work
+and index selection; every pixel/sample transform happens on device
+(ops/image.py, ops/audio.py). Backends, in preference order:
+
+- WAV audio: native C++ reader (native/wavio, ctypes) when built, else a
+  pure-python RIFF parser (PCM16/24/32, float32) — no torchaudio.
+- Video frames: decord if imported successfully, else an `ffmpeg` binary
+  if present, else `.npy` frame dumps (and, for faces, the OpenFace
+  `.npy` crops the reference also uses). This environment has neither
+  decord nor ffmpeg, so container decode is gated, not assumed.
+- Preextracted features: `.npy` caches with the reference's directory
+  contract `{root}/{dataset}/{modality}_{encoder}_{sampling}_{n}frms/{name}.npy`
+  (reference: extract_multimodal_features_precompute.py:820-846).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from affectgpt_tpu.ops import sampling
+
+# ---------------------------------------------------------------------------
+# WAV reading
+
+
+def _read_wav_python(path: str) -> Tuple[np.ndarray, int]:
+    """Minimal RIFF/WAVE parser: returns ([channels, samples] float32, rate)."""
+    with open(path, "rb") as handle:
+        data = handle.read()
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"Not a RIFF/WAVE file: {path}")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        chunk_id = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif chunk_id == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError(f"Missing fmt/data chunk: {path}")
+    audio_format, channels, rate, _, _, bits = fmt
+    if audio_format == 3 and bits == 32:  # IEEE float
+        samples = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif audio_format in (1, 0xFFFE):  # PCM (or extensible, assume PCM)
+        if bits == 16:
+            samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            samples = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            as_int = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
+            samples = as_int.astype(np.float32) / float(1 << 23)
+        else:
+            raise ValueError(f"Unsupported PCM bit depth {bits}: {path}")
+    else:
+        raise ValueError(f"Unsupported WAV format {audio_format}: {path}")
+    n = (len(samples) // channels) * channels
+    return samples[:n].reshape(-1, channels).T.copy(), rate
+
+
+_NATIVE_WAV = None
+
+
+def _native_wav_reader():
+    """ctypes binding to the C++ wav reader (native/wavio.cpp), if built."""
+    global _NATIVE_WAV
+    if _NATIVE_WAV is not None:
+        return _NATIVE_WAV or None
+    import ctypes
+
+    lib_path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libwavio.so")
+    lib_path = os.path.abspath(lib_path)
+    if not os.path.exists(lib_path):
+        _NATIVE_WAV = False
+        return None
+    lib = ctypes.CDLL(lib_path)
+    lib.wavio_read.restype = ctypes.c_int
+    lib.wavio_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int),  # channels
+        ctypes.POINTER(ctypes.c_longlong),  # frames
+        ctypes.POINTER(ctypes.c_int),  # rate
+    ]
+    lib.wavio_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    _NATIVE_WAV = lib
+    return lib
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Returns ([channels, samples] float32, sample_rate)."""
+    lib = _native_wav_reader()
+    if lib is not None:
+        import ctypes
+
+        buf = ctypes.POINTER(ctypes.c_float)()
+        channels = ctypes.c_int()
+        frames = ctypes.c_longlong()
+        rate = ctypes.c_int()
+        status = lib.wavio_read(
+            path.encode(), ctypes.byref(buf), ctypes.byref(channels),
+            ctypes.byref(frames), ctypes.byref(rate),
+        )
+        if status == 0:
+            n = channels.value * frames.value
+            arr = np.ctypeslib.as_array(buf, shape=(n,)).reshape(frames.value, channels.value)
+            out = arr.T.astype(np.float32).copy()
+            lib.wavio_free(buf)
+            return out, rate.value
+        # fall through to python parser on unsupported format
+    return _read_wav_python(path)
+
+
+# ---------------------------------------------------------------------------
+# Video frames
+
+
+def _try_decord():
+    try:
+        import decord  # noqa: F401
+
+        return decord
+    except Exception:
+        return None
+
+
+def _ffmpeg_available() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def read_video_frames(
+    video_path: str,
+    n_frms: int = 8,
+    sampling_name: str = "uniform",
+    rng=None,
+    au_info: Optional[dict] = None,
+) -> np.ndarray:
+    """Decode `n_frms` sampled frames → [T, H, W, 3] uint8.
+
+    Falls back: decord → ffmpeg binary → `{video_path}.frames.npy` dump.
+    """
+    decord = _try_decord()
+    if decord is not None:
+        vr = decord.VideoReader(uri=video_path)
+        vlen = len(vr)
+        indices = _indices(vlen, n_frms, sampling_name, rng, au_info)
+        batch = vr.get_batch(indices)
+        return np.asarray(batch.asnumpy() if hasattr(batch, "asnumpy") else batch)
+    if _ffmpeg_available():
+        return _read_video_ffmpeg(video_path, n_frms, sampling_name, rng, au_info)
+    npy_path = video_path + ".frames.npy"
+    if os.path.exists(npy_path):
+        frames = np.load(npy_path)  # [T, H, W, 3]
+        indices = _indices(len(frames), n_frms, sampling_name, rng, au_info)
+        return frames[indices]
+    raise RuntimeError(
+        f"No video decode backend (decord/ffmpeg) and no frame dump next to {video_path}; "
+        "use preextracted features or provide .frames.npy"
+    )
+
+
+def _indices(vlen, n_frms, sampling_name, rng, au_info) -> List[int]:
+    if sampling_name == "uniform":
+        return sampling.uniform_indices(vlen, n_frms)
+    if sampling_name == "headtail":
+        return sampling.headtail_indices(vlen, n_frms, rng)
+    if sampling_name == "emotion_peak":
+        return sampling.emotion_peak_indices(au_info, vlen, n_frms)
+    raise NotImplementedError(sampling_name)
+
+
+def _read_video_ffmpeg(video_path, n_frms, sampling_name, rng, au_info) -> np.ndarray:
+    import json
+    import subprocess
+
+    probe = subprocess.run(
+        ["ffprobe", "-v", "quiet", "-print_format", "json", "-show_streams", video_path],
+        capture_output=True, check=True,
+    )
+    streams = json.loads(probe.stdout)["streams"]
+    vstream = next(s for s in streams if s["codec_type"] == "video")
+    w, h = int(vstream["width"]), int(vstream["height"])
+    raw = subprocess.run(
+        ["ffmpeg", "-v", "quiet", "-i", video_path, "-f", "rawvideo", "-pix_fmt", "rgb24", "-"],
+        capture_output=True, check=True,
+    ).stdout
+    frames = np.frombuffer(raw, dtype=np.uint8)
+    vlen = len(frames) // (w * h * 3)
+    frames = frames[: vlen * w * h * 3].reshape(vlen, h, w, 3)
+    return frames[_indices(vlen, n_frms, sampling_name, rng, au_info)]
+
+
+def read_face_crops(face_npy: str, n_frms: int = 8, sampling_name: str = "uniform", rng=None) -> np.ndarray:
+    """OpenFace face-crop `.npy` sequence → [T, H0, W0, 3] uint8 sampled
+    frames (resize to 224² happens on device; the reference resizes with
+    cv2 host-side, video_processor.py:262-296)."""
+    faces = np.load(face_npy)
+    indices = _indices(len(faces), n_frms, sampling_name, rng, None)
+    return np.asarray(faces)[indices]
+
+
+# ---------------------------------------------------------------------------
+# Preextracted feature cache contract
+
+
+def feature_cache_path(
+    root: str, dataset: str, modality: str, encoder: str, sample_name: str,
+    sampling_name: str = "uniform", n_frms: int = 8, clips_per_video: int = 8,
+) -> str:
+    """Reference cache layout (base_dataset.py:398,485,524)."""
+    if modality == "frame":
+        sub = f"frame_{encoder}_{sampling_name}_{n_frms}frms"
+    elif modality == "face":
+        sub = f"face_{encoder}_{n_frms}frms"
+    elif modality == "audio":
+        sub = f"audio_{encoder}_{clips_per_video}clips"
+    elif modality == "multi":
+        sub = f"multi_{encoder}"
+    elif modality == "au":
+        sub = f"au_{encoder}"
+    else:
+        raise ValueError(modality)
+    return os.path.join(root, dataset, sub, f"{sample_name}.npy")
+
+
+def load_feature(path: str) -> Optional[np.ndarray]:
+    if not os.path.exists(path):
+        return None
+    return np.load(path)

@@ -185,6 +185,28 @@ def resample(waveform: jnp.ndarray, orig_freq: int, new_freq: int) -> jnp.ndarra
     return y.reshape((*lead_shape, target_length))
 
 
+def resample_numpy(waveform: np.ndarray, orig_freq: int, new_freq: int) -> np.ndarray:
+    """Host (numpy) polyphase resample with the *same* kernel as the device
+    path — used by CPU dataloader workers so host- and device-resampled
+    audio are bit-identical up to float order."""
+    if orig_freq == new_freq:
+        return waveform.astype(np.float32)
+    kernels, width, orig_g, new_g = _sinc_resample_kernel(orig_freq, new_freq)
+    kernels = kernels[:, 0, :]  # [new_g, kw]
+    lead = waveform.shape[:-1]
+    length = waveform.shape[-1]
+    target_length = int(math.ceil(new_g * length / orig_g))
+    x = waveform.reshape(-1, length).astype(np.float32)
+    x = np.pad(x, ((0, 0), (width, width + orig_g)))
+    kw = kernels.shape[1]
+    num_windows = (x.shape[1] - kw) // orig_g + 1
+    # strided windows [batch, num_windows, kw]
+    windows = np.lib.stride_tricks.sliding_window_view(x, kw, axis=1)[:, ::orig_g]
+    y = np.einsum("bwk,pk->bwp", windows[:, :num_windows], kernels)  # [b, w, new_g]
+    y = y.reshape(x.shape[0], -1)[:, :target_length]
+    return y.reshape(*lead, target_length)
+
+
 def extract_clips(
     waveform: jnp.ndarray,
     sample_rate: int = constants.AUDIO_SAMPLE_RATE,
