@@ -27,7 +27,7 @@ import numpy as np
 
 REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
 
-BATCH = 16
+BATCH = 64
 PROMPT_LEN = 128
 NEW_TOKENS = 32
 MAX_LEN = 192
@@ -103,9 +103,11 @@ def main():
         )
 
     rng = jax.random.PRNGKey(0)
-    # warmup + compile
+    # warmup + compile. NOTE: on the axon relay backend block_until_ready is
+    # not a reliable fence — a device→host transfer is, so every timing
+    # boundary fetches the (tiny) token array.
     tokens, nv = clip_to_tokens(frozen, trainable, input_ids, feats, offsets, lengths, rng)
-    jax.block_until_ready(tokens)
+    np.asarray(tokens)
 
     iters = 5
     t0 = time.perf_counter()
@@ -113,14 +115,17 @@ def main():
         tokens, nv = clip_to_tokens(
             frozen, trainable, input_ids, feats, offsets, lengths, jax.random.fold_in(rng, i)
         )
-    jax.block_until_ready(tokens)
+        np.asarray(tokens)
     dt = time.perf_counter() - t0
 
     clips_per_sec = BATCH * iters / dt
     print(
         json.dumps(
             {
-                "metric": "tri-modal preextracted clips/sec/chip (3B-class LLM, bf16, 32-tok decode, batch 16)",
+                "metric": (
+                    "tri-modal preextracted clips/sec/chip "
+                    f"(3B-class LLM, bf16, {NEW_TOKENS}-tok decode, batch {BATCH})"
+                ),
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/s",
                 "vs_baseline": round(clips_per_sec / REFERENCE_CLIPS_PER_SEC, 3),

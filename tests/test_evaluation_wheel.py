@@ -1,0 +1,152 @@
+"""Emotion-wheel metric tests on synthetic wheel/synonym/format assets."""
+
+import os
+import struct
+import zipfile
+
+import numpy as np
+import pytest
+
+from affectgpt_tpu.evaluation.wheel import WheelMetrics, read_wheel_to_map
+from affectgpt_tpu.utils import xlsx
+
+
+def write_xlsx(path, header, rows):
+    """Minimal xlsx writer using inline strings (enough for our reader)."""
+
+    def col_letter(i):
+        letters = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            letters = chr(ord("A") + rem) + letters
+        return letters
+
+    def row_xml(r_idx, values):
+        cells = []
+        for c_idx, value in enumerate(values):
+            if value is None:
+                continue
+            ref = f"{col_letter(c_idx)}{r_idx}"
+            cells.append(
+                f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
+            )
+        return f'<row r="{r_idx}">{"".join(cells)}</row>'
+
+    all_rows = [header] + rows
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        + "".join(row_xml(i + 1, row) for i, row in enumerate(all_rows))
+        + "</sheetData></worksheet>"
+    )
+    content_types = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", content_types)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+@pytest.fixture()
+def wheel_assets(tmp_path):
+    """Two tiny wheels + synonym table + format csv."""
+    import pandas as pd
+
+    # wheel1: joy -> {happy -> [cheerful, content]}, sadness -> {sad -> [gloomy]}
+    write_xlsx(
+        tmp_path / "wheel1.xlsx",
+        ["level1", "level2", "level3"],
+        [
+            ["joy", "happy", "cheerful"],
+            [None, None, "content"],
+            ["sadness", "sad", "gloomy"],
+        ],
+    )
+    for i in range(2, 6):
+        write_xlsx(
+            tmp_path / f"wheel{i}.xlsx",
+            ["level1", "level2", "level3"],
+            [
+                ["joy", "happy", "cheerful"],
+                ["sadness", "sad", "gloomy"],
+            ],
+        )
+
+    words = ["joy", "happy", "cheerful", "content", "sadness", "sad", "gloomy"]
+    synonyms = {
+        "happy": "['joyful','glad']",
+        "sad": "['unhappy','sorrowful']",
+    }
+    header = []
+    for run in range(1, 9):
+        header += [f"word_run{run}", f"synonym_run{run}"]
+    rows = []
+    for w in words:
+        row = []
+        for _ in range(1, 9):
+            row += [w, synonyms.get(w, "[]")]
+        rows.append(row)
+    write_xlsx(tmp_path / "synonym.xlsx", header, rows)
+
+    all_words = words + ["joyful", "glad", "unhappy", "sorrowful"]
+    pd.DataFrame(
+        {
+            "name": all_words,
+            "format": [f"['{w.capitalize()}','{w}s']".lower() for w in all_words],
+        }
+    ).to_csv(tmp_path / "format.csv", index=False)
+    return str(tmp_path)
+
+
+class TestXlsxReader:
+    def test_roundtrip(self, tmp_path):
+        path = tmp_path / "t.xlsx"
+        write_xlsx(path, ["a", "b"], [["1", "x"], [None, "y"]])
+        rows = xlsx.read_dicts(str(path))
+        assert rows == [{"a": "1", "b": "x"}, {"a": None, "b": "y"}]
+
+
+class TestWheel:
+    def test_wheel_map_forward_fill(self, wheel_assets):
+        store = read_wheel_to_map(os.path.join(wheel_assets, "wheel1.xlsx"))
+        assert store["joy"]["happy"] == ["cheerful", "content"]
+        assert store["sadness"]["sad"] == ["gloomy"]
+
+    def test_candidate_labels(self, wheel_assets):
+        wm = WheelMetrics(wheel_assets)
+        labels = wm.candidate_labels()
+        assert set(labels) == {"joy", "happy", "cheerful", "content", "sadness", "sad", "gloomy"}
+
+    def test_backward_cases(self, wheel_assets):
+        wm = WheelMetrics(wheel_assets)
+        # synonym word maps through synonym table to wheel word, then cluster
+        assert wm.backward("joyful", "case3_wheel1_level1") == "joy"
+        assert wm.backward("unhappy", "case3_wheel1_level1") == "sadness"
+        # format variant ("glads") → glad → happy → joy
+        assert wm.backward("glads", "case3_wheel1_level1") == "joy"
+        # unknown word drops out
+        assert wm.backward("xyzzy", "case3_wheel1_level1") == ""
+
+    def test_wheel_metric_perfect_and_mixed(self, wheel_assets):
+        wm = WheelMetrics(wheel_assets)
+        name2gt = {"a": "['happy']", "b": "['sad']"}
+        perfect = {"a": "['joyful']", "b": "['unhappy']"}  # synonyms of gt
+        f, p, r = wm.wheel_metric(name2gt, perfect)
+        assert f == pytest.approx(1.0)
+        mixed = {"a": "['joyful','unhappy']", "b": "['cheerful']"}
+        f2, p2, r2 = wm.wheel_metric(name2gt, mixed)
+        # a: pred {joy, sadness} gt {joy} → p=.5 r=1 ; b: pred {joy} gt {sadness} → 0
+        assert p2 == pytest.approx(0.25)
+        assert r2 == pytest.approx(0.5)
+        assert 0 < f2 < 1
+
+    def test_hitrate_metric(self, wheel_assets):
+        wm = WheelMetrics(wheel_assets)
+        name2gt = {"a": "happy", "b": "sad"}
+        name2pred = {"a": "['joyful']", "b": "['cheerful']"}
+        score = wm.hitrate_metric(name2gt, name2pred)
+        assert score == pytest.approx(0.5)  # a hits, b predicts wrong cluster
