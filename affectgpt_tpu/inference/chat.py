@@ -1,0 +1,163 @@
+"""Chat: single- and batched-clip inference over the full model.
+
+Capability-parity with the reference `Chat` (reference:
+my_affectgpt/conversation/conversation_video.py:111-388: per-modality
+postprocess_* wrappers + answer_sample generate). TPU redesign: one
+compiled clip→tokens program covering encode (when raw media is given) →
+mergers → splice → prefill → decode, batched over clips (the reference
+generates strictly batch-1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affectgpt_tpu import constants, prompts
+from affectgpt_tpu.inference import generate as gen
+from affectgpt_tpu.models import affectgpt, clip_vit, hubert, splice
+from affectgpt_tpu.ops import image as image_ops
+
+
+def encode_media_features(
+    frozen: dict,
+    cfg: affectgpt.AffectGPTConfig,
+    raw: Dict[str, jnp.ndarray],
+    vision_cfg: Optional[clip_vit.ClipVisionConfig] = None,
+    audio_cfg: Optional[hubert.HubertConfig] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Raw device media → per-modality [b, t, d] features using the frozen
+    encoders (the realtime path; reference encoder.py:197-208, 418-432).
+    raw: frame/face [b, T, H, W, 3] uint8, audio [b, clips, 1, samples]."""
+    feats: Dict[str, jnp.ndarray] = {}
+    vision_cfg = vision_cfg or clip_vit.ClipVisionConfig.vit_l_14()
+    audio_cfg = audio_cfg or hubert.HubertConfig.large()
+    for m in ("frame", "face"):
+        if m in raw:
+            frames = raw[m]
+            b, t = frames.shape[:2]
+            flat = frames.reshape(b * t, *frames.shape[2:])
+            prepped = jax.vmap(
+                lambda f: image_ops.preprocess_frames_eval(f, out_size=vision_cfg.image_size)
+            )(flat[:, None])[:, :, 0]
+            # [b·t, 3, H, W] → [b·t, H, W, 3]
+            prepped = jnp.transpose(prepped, (0, 2, 3, 1))
+            emb = clip_vit.encode_image(frozen["visual_encoder"], vision_cfg, prepped)
+            feats[m] = emb.reshape(b, t, -1)
+    if "audio" in raw:
+        feats["audio"] = hubert.encode_clips(frozen["acoustic_encoder"], audio_cfg, raw["audio"])
+    return feats
+
+
+@dataclass
+class Chat:
+    frozen: dict
+    trainable: dict
+    cfg: affectgpt.AffectGPTConfig
+    tokenizer: "object"
+    max_len: int = 2048
+
+    def build_prompt_batch(
+        self,
+        face_or_frame: str,
+        subtitles: List[Optional[str]],
+        user_message: str,
+        nonverbal_texts: Optional[List[Optional[str]]] = None,
+    ):
+        """Tokenize prompts (bos + prompt, reference answer_sample prepends
+        bos) and compute patch offsets; returns right-padded ids [b, t],
+        lengths [b], offsets {m: [b]}."""
+        texts = []
+        for i, subtitle in enumerate(subtitles):
+            nv = nonverbal_texts[i] if nonverbal_texts else None
+            p = prompts.get_prompt_for_multimodal(face_or_frame, subtitle, user_message, nv)
+            p = prompts.replace_token_for_multimodal(
+                p, self.cfg.num_video_query_token, self.cfg.num_audio_query_token,
+                self.cfg.num_multi_query_token, self.cfg.num_image_query_token,
+            )
+            texts.append(p)
+        encoded = [[self.tokenizer.bos_token_id] + self.tokenizer.encode(t) for t in texts]
+        lengths = np.array([len(e) for e in encoded], dtype=np.int32)
+        t_pad = int(lengths.max())
+        ids = np.zeros((len(encoded), t_pad), dtype=np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+
+        query_counts = {
+            "frame": self.cfg.num_video_query_token,
+            "face": self.cfg.num_video_query_token,
+            "audio": self.cfg.num_audio_query_token,
+            "multi": self.cfg.num_multi_query_token,
+            "image": self.cfg.num_image_query_token,
+        }
+        token_names = {
+            "frame": constants.DEFAULT_FRAME_PATCH_TOKEN,
+            "face": constants.DEFAULT_FACE_PATCH_TOKEN,
+            "audio": constants.DEFAULT_AUDIO_PATCH_TOKEN,
+            "multi": constants.DEFAULT_MULTI_PATCH_TOKEN,
+            "image": constants.DEFAULT_IMAGE_PATCH_TOKEN,
+        }
+        offsets = {}
+        for m, name in token_names.items():
+            tok_id = self.tokenizer.patch_token_ids[name]
+            offs = np.array(
+                [splice.find_patch_run(row, tok_id, query_counts[m]) for row in ids],
+                dtype=np.int32,
+            )
+            if np.any(offs >= 0):
+                offsets[m] = offs
+                ids[ids == tok_id] = 0
+        return ids, lengths, offsets
+
+    def answer_batch(
+        self,
+        face_or_frame: str,
+        subtitles: List[Optional[str]],
+        user_message: str,
+        features: Dict[str, jnp.ndarray],
+        rng: Optional[jax.Array] = None,
+        max_new_tokens: int = 300,
+        do_sample: bool = True,
+        top_p: float = 0.9,
+        nonverbal_texts: Optional[List[Optional[str]]] = None,
+    ) -> List[str]:
+        """Batched clip→text: the reference answer_sample semantics
+        (sampling, top-p 0.9, '###'/eos stop, conversation_video.py:303-388)
+        over a whole batch at once."""
+        ids, lengths, offsets = self.build_prompt_batch(
+            face_or_frame, subtitles, user_message, nonverbal_texts
+        )
+        gcfg = gen.GenerateConfig(
+            max_new_tokens=max_new_tokens,
+            do_sample=do_sample,
+            top_p=top_p,
+            eos_token_id=self.tokenizer.eos_token_id,
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        max_len = self.max_len
+        tokens, num_valid = _answer_jit(
+            self.frozen, self.trainable, self.cfg, gcfg,
+            jnp.asarray(ids), {m: jnp.asarray(v) for m, v in offsets.items()},
+            features, jnp.asarray(lengths), rng, max_len,
+        )
+        tokens = np.asarray(tokens)
+        num_valid = np.asarray(num_valid)
+        outputs = []
+        for row, nv in zip(tokens, num_valid):
+            text = self.tokenizer.decode(row[: int(nv)], skip_special_tokens=True)
+            outputs.append(gen.trim_output_text(text))
+        return outputs
+
+
+@partial(jax.jit, static_argnames=("cfg", "gcfg", "max_len"))
+def _answer_jit(frozen, trainable, cfg, gcfg, input_ids, offsets, features, lengths, rng, max_len):
+    embeds = affectgpt.build_inputs_embeds(frozen, trainable, cfg, input_ids, features, offsets)
+    return gen.generate(
+        frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
+        max_len=max_len, lora=trainable["lora"],
+    )

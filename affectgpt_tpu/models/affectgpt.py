@@ -60,6 +60,41 @@ class AffectGPTConfig:
     use_multi: bool = True
 
     @classmethod
+    def from_model_cfg(cls, node: dict) -> "AffectGPTConfig":
+        """Build from the YAML `model:` section (same knob names as the
+        reference train configs: fusion types, query-token counts,
+        llama_model_name, lora_r, preextracted dims)."""
+        node = dict(node or {})
+        llm_name = node.get("llama_model_name", node.get("llm_name", "Qwen25"))
+        presets = {
+            "Qwen25": qwen2.QwenConfig.qwen25_7b,
+            "Qwen25_3B": lambda **kw: qwen2.QwenConfig(
+                vocab_size=151936, hidden_size=2048, intermediate_size=11008,
+                num_layers=36, num_heads=16, num_kv_heads=2, head_dim=128, **kw,
+            ),
+            "tiny": qwen2.QwenConfig.tiny,
+        }
+        llm_kwargs = {}
+        if "lora_r" in node:
+            llm_kwargs["lora_r"] = int(node["lora_r"])
+        llm = presets.get(llm_name, qwen2.QwenConfig.qwen25_7b)(**llm_kwargs)
+        return cls(
+            llm=llm,
+            video_fusion_type=node.get("video_fusion_type", "attention"),
+            audio_fusion_type=node.get("audio_fusion_type", "attention"),
+            multi_fusion_type=node.get("multi_fusion_type", "attention"),
+            au_fusion_type=node.get("au_fusion_type", "mean"),
+            image_fusion_type=node.get("image_fusion_type", "mean"),
+            num_video_query_token=int(node.get("num_video_query_token", 8)),
+            num_audio_query_token=int(node.get("num_audio_query_token", 8)),
+            num_multi_query_token=int(node.get("num_multi_query_token", 1)),
+            num_image_query_token=int(node.get("num_image_query_token", 8)),
+            num_au_query_token=int(node.get("num_au_query_token", 8)),
+            visual_dim=int(node.get("preextracted_visual_dim", 768)),
+            acoustic_dim=int(node.get("preextracted_acoustic_dim", 1024)),
+        )
+
+    @classmethod
     def tiny(cls):
         return cls(
             llm=qwen2.QwenConfig.tiny(),

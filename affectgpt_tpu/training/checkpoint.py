@@ -1,0 +1,107 @@
+"""Checkpointing: trainable-only state with 3-tier overlay loading.
+
+Parity with the reference semantics (reference: runners/runner_base.py:
+600-688 — trainable-params-only state_dict, optimizer/scaler/epoch
+bundle, `checkpoint_%06d_loss_%s` naming, resume; and affectgpt.py:
+1099-1120 — `ckpt < ckpt_2 < ckpt_3` non-strict overlay at model build).
+Storage is Orbax (async-capable, sharding-aware) instead of torch.save.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _checkpointer():
+    return ocp.PyTreeCheckpointer()
+
+
+def checkpoint_name(epoch: int, loss: Optional[float] = None) -> str:
+    loss_str = f"{loss:.4f}" if loss is not None else "nan"
+    return f"checkpoint_{epoch:06d}_loss_{loss_str}"
+
+
+def save_checkpoint(
+    output_dir: str,
+    epoch: int,
+    trainable: Any,
+    opt_state: Any = None,
+    step: int = 0,
+    loss: Optional[float] = None,
+    config: Optional[dict] = None,
+) -> str:
+    """Save trainable params (+ optimizer state for resume). Frozen weights
+    are never written — the reference's requires_grad filter."""
+    path = os.path.abspath(os.path.join(output_dir, checkpoint_name(epoch, loss)))
+    payload = {
+        "trainable": jax.device_get(trainable),
+        "epoch": np.int64(epoch),
+        "step": np.int64(step),
+    }
+    if opt_state is not None:
+        payload["opt_state"] = jax.device_get(opt_state)
+    _checkpointer().save(path, payload)
+    if config is not None:
+        import json
+
+        with open(os.path.join(path, "config.json"), "w") as handle:
+            json.dump(config, handle, default=str)
+    return path
+
+
+def load_checkpoint(path: str) -> dict:
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+def _overlay(base: Any, update: Any) -> Any:
+    """Non-strict merge: leaves present in `update` replace `base`,
+    missing subtrees keep base values (strict=False load_state_dict)."""
+    if isinstance(base, dict) and isinstance(update, dict):
+        out = dict(base)
+        for key, value in update.items():
+            out[key] = _overlay(base[key], value) if key in base else value
+        return out
+    if isinstance(base, list) and isinstance(update, list) and len(base) == len(update):
+        return [_overlay(b, u) for b, u in zip(base, update)]
+    return update if update is not None else base
+
+
+def apply_checkpoint_overlays(trainable: Any, *ckpt_paths: Optional[str]) -> Any:
+    """Reference 3-tier composition: apply ckpt, ckpt_2, ckpt_3 in order,
+    later tiers winning (affectgpt.py:1099-1120)."""
+    for path in ckpt_paths:
+        if not path:
+            continue
+        payload = load_checkpoint(path)
+        trainable = _overlay(trainable, payload["trainable"])
+    return trainable
+
+
+def list_checkpoints(output_dir: str):
+    """Sorted (epoch, path) pairs under a run directory."""
+    found = []
+    for path in glob.glob(os.path.join(output_dir, "checkpoint_*")):
+        match = re.search(r"checkpoint_(\d+)_loss", os.path.basename(path))
+        if match:
+            found.append((int(match.group(1)), path))
+    return sorted(found)
+
+
+def discover_checkpoint_root(result_root: str) -> Optional[str]:
+    """Pick the run directory with the most checkpoints (the reference's
+    auto-discovery, inference_hybird.py:32-54)."""
+    best, best_count = None, -1
+    for candidate in glob.glob(os.path.join(result_root, "*")):
+        if not os.path.isdir(candidate):
+            continue
+        count = len(list_checkpoints(candidate))
+        if count > best_count:
+            best, best_count = candidate, count
+    return best

@@ -1,0 +1,199 @@
+"""Training orchestration: datasets → mixed loaders → compiled sharded
+step → per-epoch checkpoints, logs and curves.
+
+Capability-parity with the reference runtime (reference:
+runners/runner_base.py:42-704 RunnerBase + tasks/base_task.py:101-198
+train_epoch): warmup-cosine LR at iteration resolution, grad
+accumulation, ratio-mixed multi-dataset sampling, epoch-0 zero-shot
+checkpoint, per-epoch trainable-only checkpoints with loss in the name,
+JSON-lines log.txt, training curves. DDP/AMP/GradScaler machinery is
+replaced by one pjit-compiled step on a dp×tp mesh (training/train_step).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from affectgpt_tpu import registry
+from affectgpt_tpu.config import Config
+from affectgpt_tpu.data.base_dataset import DatasetConfig, ModelDataConfig
+from affectgpt_tpu.data.loaders import DevicePrefetcher, IterLoader, MultiIterLoader
+from affectgpt_tpu.models import affectgpt
+from affectgpt_tpu.parallel import mesh as mesh_lib
+from affectgpt_tpu.training import checkpoint, optim, train_step
+from affectgpt_tpu.utils.logging import (
+    JsonLinesLogger,
+    MetricLogger,
+    TrainingVisualizer,
+    logger,
+)
+
+
+@registry.register_task("video_text_pretrain")
+def build_datasets(cfg: Config, tokenizer, model_cfg: affectgpt.AffectGPTConfig):
+    """Instantiate every dataset named in the YAML `datasets:` section
+    (the reference's builder registry path, tasks/base_task.py:33-62)."""
+    data_model_cfg = ModelDataConfig(
+        num_video_query_token=model_cfg.num_video_query_token,
+        num_audio_query_token=model_cfg.num_audio_query_token,
+        num_multi_query_token=model_cfg.num_multi_query_token,
+        num_image_query_token=model_cfg.num_image_query_token,
+    )
+    datasets, ratios = [], []
+    for name, node in cfg.datasets.items():
+        ds_cfg = DatasetConfig.from_cfg(node)
+        if ds_cfg.face_or_frame.startswith("multi"):
+            assert model_cfg.use_multi, "multi fusion requested but model has use_multi=False"
+        cls = registry.get("dataset", _canonical_dataset_name(name))
+        datasets.append(cls(tokenizer, ds_cfg, data_model_cfg))
+        ratios.append(float((node or {}).get("ratio", 1.0)))
+    return datasets, ratios
+
+
+_DATASET_ALIASES = {
+    "mercaptionplus": "MERCaptionPlus", "ovmerd": "OVMERD", "ovmerdplus": "OVMERDPlus",
+    "mer2025ov": "MER2025OV", "mer2023": "MER2023", "mer2024": "MER2024",
+    "meld": "MELD", "iemocapfour": "IEMOCAPFour", "cmumosi": "CMUMOSI",
+    "cmumosei": "CMUMOSEI", "sims": "SIMS", "simsv2": "SIMSv2",
+}
+
+
+def _canonical_dataset_name(name: str) -> str:
+    return _DATASET_ALIASES.get(name.lower(), name)
+
+
+@registry.register_runner("runner_base")
+class Runner:
+    def __init__(
+        self,
+        cfg: Config,
+        tokenizer,
+        frozen,
+        trainable,
+        model_cfg: affectgpt.AffectGPTConfig,
+        datasets,
+        ratios,
+        mesh=None,
+        job_id: Optional[str] = None,
+    ):
+        self.cfg = cfg
+        run = cfg.run
+        self.model_cfg = model_cfg
+        self.tokenizer = tokenizer
+        self.mesh = mesh or mesh_lib.create_mesh(tp=int(run.get("tp", 1)))
+
+        self.max_epoch = int(run.get("max_epoch", 1))
+        self.iters_per_epoch = int(run.get("iters_per_epoch", 100))
+        self.batch_size = int(run.get("batch_size_train", 1)) * self.mesh.shape["dp"]
+        self.log_freq = int(run.get("log_freq", 50))
+
+        total_steps = self.max_epoch * self.iters_per_epoch
+        sched_name = run.get("lr_sched", "linear_warmup_cosine_lr")
+        schedule = registry.get("lr_scheduler", sched_name)(
+            init_lr=float(run.get("init_lr", 1e-5)),
+            min_lr=float(run.get("min_lr", 1e-6)),
+            warmup_steps=int(run.get("warmup_steps", 0)),
+            total_steps=total_steps,
+            warmup_start_lr=float(run.get("warmup_lr", -1)),
+            decay_rate=float(run.get("lr_decay_rate", 1.0)),
+            steps_per_epoch=self.iters_per_epoch,
+        )
+        self.schedule = schedule
+        self.tx = optim.make_optimizer(
+            schedule,
+            weight_decay=float(run.get("weight_decay", 0.05)),
+            beta2=float(run.get("beta2", 0.999)),
+            max_grad_norm=run.get("max_grad_norm"),
+            accum_steps=int(run.get("accum_grad_iters", 1)),
+        )
+
+        state = train_step.create_train_state(trainable, self.tx)
+        self.state = train_step.shard_state(self.mesh, state)
+        self.frozen = mesh_lib.shard_params(self.mesh, frozen)
+        self.step_fn = train_step.compile_train_step(
+            self.mesh, model_cfg, self.tx, self.state, self.frozen,
+            remat=bool(run.get("remat", False)),
+        )
+
+        loaders = [
+            IterLoader(ds, self.batch_size, seed=int(run.get("seed", 42)) + i)
+            for i, ds in enumerate(datasets)
+        ]
+        self.loader = MultiIterLoader(loaders, ratios, seed=int(run.get("seed", 42)))
+
+        self.output_dir = cfg.output_dir if job_id is None else f"{cfg.output_dir}/{job_id}"
+        self.json_log = JsonLinesLogger(self.output_dir)
+        self.visualizer = TrainingVisualizer(self.output_dir)
+        self.start_epoch = 0
+
+        resume = run.get("resume_ckpt_path")
+        if resume:
+            payload = checkpoint.load_checkpoint(resume)
+            self.state = train_step.TrainState(
+                step=jax.device_put(np.int32(payload["step"])),
+                trainable=payload["trainable"],
+                opt_state=payload.get("opt_state", self.state.opt_state),
+            )
+            self.state = train_step.shard_state(self.mesh, self.state)
+            self.start_epoch = int(payload["epoch"]) + 1
+            logger.info("Resumed from %s at epoch %d", resume, self.start_epoch)
+
+    def _device_batch(self, batch: dict) -> dict:
+        sharded = {}
+        sharding = mesh_lib.batch_sharding(self.mesh)
+        for key in ("input_ids", "attention_mask", "labels"):
+            sharded[key] = jax.device_put(batch[key], sharding)
+        sharded["features"] = {
+            m: jax.device_put(v, sharding) for m, v in batch["features"].items()
+        }
+        sharded["offsets"] = {
+            m: jax.device_put(v, sharding) for m, v in batch["offsets"].items()
+        }
+        return sharded
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        metrics_log = MetricLogger()
+        prefetcher = DevicePrefetcher(self.loader, put_fn=self._device_batch)
+        tic = time.time()
+        try:
+            for it in range(self.iters_per_epoch):
+                batch = next(prefetcher)
+                self.state, metrics = self.step_fn(self.state, self.frozen, batch)
+                step = epoch * self.iters_per_epoch + it
+                lr = float(self.schedule(step))
+                if it % self.log_freq == 0 or it == self.iters_per_epoch - 1:
+                    loss = float(metrics["loss"])  # host sync point
+                    metrics_log.update(loss=loss, lr=lr)
+                    self.visualizer.record(loss=loss, lr=lr)
+                    logger.info(
+                        "epoch %d iter %d/%d loss %.4f lr %.2e",
+                        epoch, it, self.iters_per_epoch, loss, lr,
+                    )
+        finally:
+            prefetcher.close()
+        stats = metrics_log.to_dict()
+        stats["epoch_time_s"] = time.time() - tic
+        return stats
+
+    def train(self) -> None:
+        self.json_log.write({"config": self.cfg.to_dict()})
+        # epoch-0 zero-shot checkpoint before training (runner_base.py:396)
+        if self.start_epoch == 0:
+            checkpoint.save_checkpoint(
+                self.output_dir, 0, self.state.trainable, step=0, config=self.cfg.to_dict()
+            )
+        for epoch in range(self.start_epoch, self.max_epoch):
+            stats = self.train_epoch(epoch)
+            self.json_log.write({"epoch": epoch, **stats})
+            self.visualizer.plot_and_save(epoch)
+            checkpoint.save_checkpoint(
+                self.output_dir, epoch + 1, self.state.trainable,
+                opt_state=self.state.opt_state,
+                step=int(self.state.step), loss=stats.get("loss"),
+                config=self.cfg.to_dict(),
+            )
+        logger.info("Training complete: %d epochs in %s", self.max_epoch, self.output_dir)

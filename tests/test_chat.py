@@ -1,0 +1,75 @@
+"""Chat interface tests: batched prompt building + end-to-end answer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affectgpt_tpu.inference.chat import Chat, encode_media_features
+from affectgpt_tpu.models import affectgpt, clip_vit, hubert
+from affectgpt_tpu.tokenization import ByteTokenizer
+
+CFG = affectgpt.AffectGPTConfig.tiny()
+FROZEN = affectgpt.init_frozen(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+TRAINABLE = affectgpt.init_trainable(jax.random.PRNGKey(1), CFG)
+
+
+class TestChat:
+    def make_chat(self):
+        return Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024)
+
+    def test_build_prompt_batch(self):
+        chat = self.make_chat()
+        ids, lengths, offsets = chat.build_prompt_batch(
+            "multiface_audio_face_text", ["hi", "a longer subtitle here"], "How?"
+        )
+        assert ids.shape[0] == 2
+        assert lengths[1] > lengths[0]
+        assert set(offsets) == {"face", "audio", "multi"}
+        # patch ids zeroed
+        tok = chat.tokenizer
+        for name, tok_id in tok.patch_token_ids.items():
+            assert not np.any(ids == tok_id)
+
+    def test_answer_batch_preextracted(self):
+        chat = self.make_chat()
+        b = 2
+        features = {
+            "face": jnp.asarray(np.random.RandomState(0).randn(b, 8, CFG.visual_dim), jnp.float32),
+            "audio": jnp.asarray(np.random.RandomState(1).randn(b, 8, CFG.acoustic_dim), jnp.float32),
+        }
+        outputs = chat.answer_batch(
+            "multiface_audio_face_text", ["sub one", "sub two"], "Describe.",
+            features, max_new_tokens=6, do_sample=False,
+        )
+        assert len(outputs) == 2
+        assert all(isinstance(o, str) for o in outputs)
+
+
+class TestEncodeMedia:
+    def test_realtime_encode_shapes(self):
+        vision_cfg = clip_vit.ClipVisionConfig.tiny()
+        audio_cfg = hubert.HubertConfig.tiny()
+        frozen = {
+            "visual_encoder": clip_vit.init_vision_params(
+                jax.random.PRNGKey(0), vision_cfg, dtype=jnp.float32
+            ),
+            "acoustic_encoder": hubert.init_params(
+                jax.random.PRNGKey(1), audio_cfg, dtype=jnp.float32
+            ),
+        }
+        raw = {
+            "frame": jnp.asarray(
+                np.random.RandomState(0).randint(0, 255, (2, 3, 28, 28, 3)), jnp.uint8
+            ),
+            "audio": jnp.asarray(np.random.RandomState(1).randn(2, 4, 1, 800), jnp.float32),
+        }
+        # tiny vision cfg expects 28x28 inputs; patch the eval size via resize
+        feats = encode_media_features(
+            frozen,
+            affectgpt.AffectGPTConfig.tiny(),
+            raw,
+            vision_cfg=vision_cfg,
+            audio_cfg=audio_cfg,
+        )
+        assert feats["frame"].shape == (2, 3, vision_cfg.projection_dim)
+        assert feats["audio"].shape == (2, 4, audio_cfg.hidden_size)
