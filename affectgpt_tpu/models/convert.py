@@ -1,0 +1,239 @@
+"""HF PyTorch checkpoint → JAX pytree weight conversion.
+
+The reference loads HF checkpoints directly (AutoModel.from_pretrained);
+here torch stays on the host purely as a weight reader and each tensor is
+mapped into the functional pytrees of qwen2.py / clip_vit.py / hubert.py.
+Run once offline; training/inference consume the converted arrays.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def _load_torch_state(model_dir: str) -> Dict[str, "np.ndarray"]:
+    """Read all tensors from a HF model dir (safetensors preferred)."""
+    state: Dict[str, np.ndarray] = {}
+    try:
+        import glob as _glob
+
+        from safetensors import safe_open
+
+        files = sorted(_glob.glob(os.path.join(model_dir, "*.safetensors")))
+        if files:
+            for path in files:
+                with safe_open(path, framework="np") as handle:
+                    for key in handle.keys():
+                        state[key] = handle.get_tensor(key)
+            return state
+    except ImportError:
+        pass
+    import glob as _glob
+
+    import torch
+
+    for path in sorted(_glob.glob(os.path.join(model_dir, "*.bin"))) or [
+        os.path.join(model_dir, "pytorch_model.bin")
+    ]:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        for key, value in sd.items():
+            state[key] = value.float().numpy()
+    return state
+
+
+def _dense(state, prefix, transpose=True, bias=True):
+    out = {"w": state[f"{prefix}.weight"]}
+    if transpose:
+        out["w"] = np.ascontiguousarray(out["w"].T)
+    if bias and f"{prefix}.bias" in state:
+        out["b"] = state[f"{prefix}.bias"]
+    return out
+
+
+def _ln(state, prefix):
+    return {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
+
+
+def convert_qwen2(model_dir: str, dtype=np.float32) -> dict:
+    """HF Qwen2ForCausalLM state → qwen2.init_params layout."""
+    state = _load_torch_state(model_dir)
+
+    def cast(tree):
+        import jax
+
+        return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), tree)
+
+    layers = []
+    i = 0
+    while f"model.layers.{i}.self_attn.q_proj.weight" in state:
+        p = f"model.layers.{i}"
+        layers.append(
+            {
+                "q_proj": _dense(state, f"{p}.self_attn.q_proj"),
+                "k_proj": _dense(state, f"{p}.self_attn.k_proj"),
+                "v_proj": _dense(state, f"{p}.self_attn.v_proj"),
+                "o_proj": _dense(state, f"{p}.self_attn.o_proj", bias=False),
+                "gate_proj": _dense(state, f"{p}.mlp.gate_proj", bias=False),
+                "up_proj": _dense(state, f"{p}.mlp.up_proj", bias=False),
+                "down_proj": _dense(state, f"{p}.mlp.down_proj", bias=False),
+                "input_ln": {"scale": state[f"{p}.input_layernorm.weight"]},
+                "post_attn_ln": {"scale": state[f"{p}.post_attention_layernorm.weight"]},
+            }
+        )
+        i += 1
+    params = {
+        "embed_tokens": {"table": state["model.embed_tokens.weight"]},
+        "layers": layers,
+        "final_ln": {"scale": state["model.norm.weight"]},
+    }
+    if "lm_head.weight" in state:
+        params["lm_head"] = {"w": np.ascontiguousarray(state["lm_head.weight"].T)}
+    return cast(params)
+
+
+def convert_clip_vision(model_dir: str, dtype=np.float32) -> dict:
+    """HF CLIPModel vision tower + visual_projection → clip_vit layout."""
+    state = _load_torch_state(model_dir)
+    pre = "vision_model"
+
+    def block(i):
+        p = f"{pre}.encoder.layers.{i}"
+        return {
+            "ln1": _ln(state, f"{p}.layer_norm1"),
+            "attn": {
+                "q": _dense(state, f"{p}.self_attn.q_proj"),
+                "k": _dense(state, f"{p}.self_attn.k_proj"),
+                "v": _dense(state, f"{p}.self_attn.v_proj"),
+                "o": _dense(state, f"{p}.self_attn.out_proj"),
+            },
+            "ln2": _ln(state, f"{p}.layer_norm2"),
+            "mlp_in": _dense(state, f"{p}.mlp.fc1"),
+            "mlp_out": _dense(state, f"{p}.mlp.fc2"),
+        }
+
+    n_layers = 0
+    while f"{pre}.encoder.layers.{n_layers}.layer_norm1.weight" in state:
+        n_layers += 1
+
+    # conv patch embedding (O, C, kH, kW) → dense [C·kH·kW, O]
+    conv = state[f"{pre}.embeddings.patch_embedding.weight"]
+    o, c, kh, kw = conv.shape
+    patch_w = conv.reshape(o, c * kh * kw).T
+
+    import jax
+
+    params = {
+        "patch_embed": {"w": np.ascontiguousarray(patch_w)},
+        "class_embed": state[f"{pre}.embeddings.class_embedding"].reshape(-1),
+        "pos_embed": {"table": state[f"{pre}.embeddings.position_embedding.weight"]},
+        "pre_ln": _ln(state, f"{pre}.pre_layrnorm"),
+        "blocks": [block(i) for i in range(n_layers)],
+        "post_ln": _ln(state, f"{pre}.post_layernorm"),
+        "proj": {"w": np.ascontiguousarray(state["visual_projection.weight"].T)},
+    }
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+
+
+def convert_clip_text(model_dir: str, dtype=np.float32) -> dict:
+    """HF CLIPModel text tower + text_projection → clip_vit text layout."""
+    state = _load_torch_state(model_dir)
+    pre = "text_model"
+
+    def block(i):
+        p = f"{pre}.encoder.layers.{i}"
+        return {
+            "ln1": _ln(state, f"{p}.layer_norm1"),
+            "attn": {
+                "q": _dense(state, f"{p}.self_attn.q_proj"),
+                "k": _dense(state, f"{p}.self_attn.k_proj"),
+                "v": _dense(state, f"{p}.self_attn.v_proj"),
+                "o": _dense(state, f"{p}.self_attn.out_proj"),
+            },
+            "ln2": _ln(state, f"{p}.layer_norm2"),
+            "mlp_in": _dense(state, f"{p}.mlp.fc1"),
+            "mlp_out": _dense(state, f"{p}.mlp.fc2"),
+        }
+
+    n_layers = 0
+    while f"{pre}.encoder.layers.{n_layers}.layer_norm1.weight" in state:
+        n_layers += 1
+
+    import jax
+
+    params = {
+        "token_embed": {"table": state[f"{pre}.embeddings.token_embedding.weight"]},
+        "pos_embed": {"table": state[f"{pre}.embeddings.position_embedding.weight"]},
+        "blocks": [block(i) for i in range(n_layers)],
+        "final_ln": _ln(state, f"{pre}.final_layer_norm"),
+        "proj": {"w": np.ascontiguousarray(state["text_projection.weight"].T)},
+    }
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+
+
+def convert_hubert(model_dir: str, dtype=np.float32) -> dict:
+    """HF HubertModel (large, stable-LN) → hubert layout."""
+    state = _load_torch_state(model_dir)
+
+    convs = []
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.conv.weight" in state:
+        p = f"feature_extractor.conv_layers.{i}"
+        conv = {
+            "w": state[f"{p}.conv.weight"],  # [out, in, k] — matches our layout
+            "b": state.get(f"{p}.conv.bias", np.zeros(state[f"{p}.conv.weight"].shape[0])),
+            "ln": _ln(state, f"{p}.layer_norm"),
+        }
+        convs.append(conv)
+        i += 1
+
+    def layer(i):
+        p = f"encoder.layers.{i}"
+        return {
+            "attn_ln": _ln(state, f"{p}.layer_norm"),
+            "attn": {
+                "q": _dense(state, f"{p}.attention.q_proj"),
+                "k": _dense(state, f"{p}.attention.k_proj"),
+                "v": _dense(state, f"{p}.attention.v_proj"),
+                "o": _dense(state, f"{p}.attention.out_proj"),
+            },
+            "ffn_ln": _ln(state, f"{p}.final_layer_norm"),
+            "ffn_in": _dense(state, f"{p}.feed_forward.intermediate_dense"),
+            "ffn_out": _dense(state, f"{p}.feed_forward.output_dense"),
+        }
+
+    n_layers = 0
+    while f"encoder.layers.{n_layers}.layer_norm.weight" in state:
+        n_layers += 1
+
+    # weight-normed positional conv: materialize w = g * v / ||v||.
+    # Key names vary with torch version: weight_g/weight_v (legacy),
+    # parametrizations.weight.original0/original1 (torch>=2.1), or plain
+    # weight if the norm was removed.
+    base = "encoder.pos_conv_embed.conv"
+    if f"{base}.weight_g" in state:
+        g, v = state[f"{base}.weight_g"], state[f"{base}.weight_v"]
+    elif f"{base}.parametrizations.weight.original0" in state:
+        g = state[f"{base}.parametrizations.weight.original0"]
+        v = state[f"{base}.parametrizations.weight.original1"]
+    else:
+        g, v = None, state[f"{base}.weight"]
+    if g is not None:
+        norm = np.linalg.norm(v, axis=(0, 1), keepdims=True)
+        pos_w = g * v / np.maximum(norm, 1e-12)
+    else:
+        pos_w = v
+
+    import jax
+
+    params = {
+        "convs": convs,
+        "feat_proj_ln": _ln(state, "feature_projection.layer_norm"),
+        "feat_proj": _dense(state, "feature_projection.projection"),
+        "pos_conv": {"w": pos_w, "b": state[f"{base}.bias"]},
+        "layers": [layer(i) for i in range(n_layers)],
+        "final_ln": _ln(state, "encoder.layer_norm"),
+    }
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
