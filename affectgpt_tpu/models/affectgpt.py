@@ -65,7 +65,9 @@ class AffectGPTConfig:
         reference train configs: fusion types, query-token counts,
         llama_model_name, lora_r, preextracted dims)."""
         node = dict(node or {})
-        llm_name = node.get("llama_model_name", node.get("llm_name", "Qwen25"))
+        llm_name = node.get(
+            "llama_model", node.get("llama_model_name", node.get("llm_name", "Qwen25"))
+        )
         presets = {
             "Qwen25": qwen2.QwenConfig.qwen25_7b,
             "Qwen25_3B": lambda **kw: qwen2.QwenConfig(

@@ -86,3 +86,7 @@ def register_acoustic_encoder(name):
 
 def register_dataset(name):
     return register("dataset", name)
+
+
+def register_runner(name):
+    return register("runner", name)

@@ -69,6 +69,68 @@ def _no_decay_mask(params):
     return jax.tree.map(lambda p: p.ndim >= 2, params)
 
 
+def freeze_mask_from_flags(trainable, model_cfg_node: dict):
+    """Boolean pytree: False = frozen (no update). Implements the reference's
+    frozen_* switches (reference: affectgpt.py:126-356, runner_base.py:116-149)
+    as an optimizer mask instead of requires_grad mutation."""
+    import jax
+
+    flags = model_cfg_node or {}
+
+    def subtree_mask(tree, value):
+        return jax.tree.map(lambda _: value, tree)
+
+    mask = {}
+    for key, sub in trainable.items():
+        if key == "lora":
+            mask[key] = subtree_mask(sub, not flags.get("frozen_llm", False))
+        elif key == "multi":
+            frozen = flags.get("frozen_multi_Qformer", False) and flags.get(
+                "frozen_multi_llama_proj", False
+            )
+            mask[key] = subtree_mask(sub, not frozen)
+        elif key == "mergers":
+            mask[key] = {}
+            for m, msub in sub.items():
+                if m in ("frame", "face", "image"):
+                    frozen = flags.get("frozen_video_Qformer", False) and flags.get(
+                        "frozen_video_proj", False
+                    )
+                elif m == "audio":
+                    frozen = flags.get("frozen_audio_Qformer", False) and flags.get(
+                        "frozen_audio_proj", False
+                    )
+                else:  # au
+                    frozen = flags.get("frozen_au_proj", False)
+                mask[key][m] = subtree_mask(msub, not frozen)
+        else:
+            mask[key] = subtree_mask(sub, True)
+    return mask
+
+
+def apply_freeze_mask(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
+    return optax.chain(_zero_frozen(mask), tx)
+
+
+def _zero_frozen(mask) -> optax.GradientTransformation:
+    """Zero gradients of frozen leaves so downstream adamw state stays inert."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        import jax
+
+        zeroed = jax.tree.map(
+            lambda g, keep: g if keep else jax.numpy.zeros_like(g), updates, mask
+        )
+        return zeroed, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     schedule: optax.Schedule,
     weight_decay: float = 0.05,

@@ -20,6 +20,7 @@ import numpy as np
 
 from affectgpt_tpu import registry
 from affectgpt_tpu.config import Config
+import affectgpt_tpu.data.datasets  # noqa: F401 — registers the dataset classes
 from affectgpt_tpu.data.base_dataset import DatasetConfig, ModelDataConfig
 from affectgpt_tpu.data.loaders import DevicePrefetcher, IterLoader, MultiIterLoader
 from affectgpt_tpu.models import affectgpt
@@ -110,6 +111,10 @@ class Runner:
             max_grad_norm=run.get("max_grad_norm"),
             accum_steps=int(run.get("accum_grad_iters", 1)),
         )
+        model_node = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+        if any(str(k).startswith("frozen_") and v for k, v in model_node.items()):
+            mask = optim.freeze_mask_from_flags(trainable, model_node)
+            self.tx = optim.apply_freeze_mask(self.tx, mask)
 
         state = train_step.create_train_state(trainable, self.tx)
         self.state = train_step.shard_state(self.mesh, state)
