@@ -1,0 +1,398 @@
+"""Traditional feature-level fusion baselines (MERBench toolkit).
+
+Capability-parity with the reference toolkit model zoo (reference:
+toolkit/models/*.py — attention.py, tfn.py, lmf.py, lf_dnn.py,
+ef_lstm.py, mult.py, misa.py, ...). Each model consumes utterance-level
+(or frame-level) audio/text/video features and produces
+(features, emotion logits, valence, aux loss) — the four-tuple contract
+of the reference trainers.
+
+Implemented TPU-natively as functional param pytrees; the LSTM encoder
+is a lax.scan, fusion tensor products are einsums on the MXU. Models:
+Attention, TFN, LMF, LF_DNN, EF_LSTM, MULT (crossmodal-transformer
+core), MISA (modality-invariant/-specific spaces with CMD/diff/recon
+auxiliary losses, simplified recon).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from affectgpt_tpu import registry
+from affectgpt_tpu.models import nn
+
+
+@dataclass(frozen=True)
+class FusionArgs:
+    text_dim: int = 768
+    audio_dim: int = 512
+    video_dim: int = 512
+    hidden_dim: int = 128
+    output_dim1: int = 6  # discrete emotions
+    output_dim2: int = 1  # valence
+    rank: int = 4  # LMF rank
+    num_heads: int = 4  # MULT heads
+    num_layers: int = 2  # MULT layers
+    feat_type: str = "utt"  # utt | frm_align | frm_unalign
+
+    @classmethod
+    def tiny(cls):
+        return cls(text_dim=12, audio_dim=10, video_dim=8, hidden_dim=16,
+                   output_dim1=4, output_dim2=1, rank=2, num_heads=2, num_layers=1)
+
+
+# -- shared encoders -----------------------------------------------------------
+
+
+def mlp_encoder_init(rng, in_dim, hidden, dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "fc1": nn.dense_init(k1, in_dim, hidden, dtype=dtype),
+        "fc2": nn.dense_init(k2, hidden, hidden, dtype=dtype),
+    }
+
+
+def mlp_encoder(params, x):
+    h = jax.nn.relu(nn.dense(params["fc1"], x))
+    return jax.nn.relu(nn.dense(params["fc2"], h))
+
+
+def lstm_encoder_init(rng, in_dim, hidden, dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "wx": nn.dense_init(k1, in_dim, 4 * hidden, dtype=dtype),
+        "wh": nn.dense_nobias_init(k2, hidden, 4 * hidden, dtype=dtype),
+    }
+
+
+def lstm_encoder(params, x):
+    """[b, t, d] → last hidden [b, h] via lax.scan."""
+    b = x.shape[0]
+    hidden = params["wh"]["w"].shape[0]
+
+    def step(carry, xt):
+        h, c = carry
+        gates = nn.dense(params["wx"], xt) + nn.dense_nobias(params["wh"], h)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), None
+
+    init = (jnp.zeros((b, hidden), x.dtype), jnp.zeros((b, hidden), x.dtype))
+    (h, _), _ = jax.lax.scan(step, init, jnp.swapaxes(x, 0, 1))
+    return h
+
+
+def _encoders_init(rng, args: FusionArgs, dtype=jnp.float32):
+    init = mlp_encoder_init if args.feat_type == "utt" else lstm_encoder_init
+    ka, kt, kv = jax.random.split(rng, 3)
+    return {
+        "audio": init(ka, args.audio_dim, args.hidden_dim, dtype),
+        "text": init(kt, args.text_dim, args.hidden_dim, dtype),
+        "video": init(kv, args.video_dim, args.hidden_dim, dtype),
+    }
+
+
+def _encode_all(params, args: FusionArgs, batch):
+    enc = mlp_encoder if args.feat_type == "utt" else lstm_encoder
+    return (
+        enc(params["audio"], batch["audios"]),
+        enc(params["text"], batch["texts"]),
+        enc(params["video"], batch["videos"]),
+    )
+
+
+def _heads_init(rng, in_dim, args: FusionArgs, dtype=jnp.float32):
+    k1, k2 = jax.random.split(rng)
+    return {
+        "emo": nn.dense_init(k1, in_dim, args.output_dim1, dtype=dtype),
+        "val": nn.dense_init(k2, in_dim, args.output_dim2, dtype=dtype),
+    }
+
+
+def _heads(params, feats):
+    return nn.dense(params["emo"], feats), nn.dense(params["val"], feats)
+
+
+# -- Attention fusion (reference toolkit/models/attention.py) -------------------
+
+
+@registry.register_model("toolkit_attention")
+class AttentionFusion:
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        return {
+            "encoders": _encoders_init(k1, args),
+            "attention_mlp": mlp_encoder_init(k2, args.hidden_dim * 3, args.hidden_dim),
+            "fc_att": nn.dense_init(k3, args.hidden_dim, 3),
+            "heads": _heads_init(k4, args.hidden_dim, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        concat = jnp.concatenate([a, t, v], axis=1)
+        gate = nn.dense(params["fc_att"], mlp_encoder(params["attention_mlp"], concat))  # [b,3]
+        stacked = jnp.stack([a, t, v], axis=2)  # [b, h, 3]
+        feats = jnp.einsum("bhm,bm->bh", stacked, gate)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
+# -- TFN: tensor fusion (reference toolkit/models/tfn.py) ------------------------
+
+
+@registry.register_model("toolkit_tfn")
+class TFN:
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        h1 = (args.hidden_dim + 1) ** 3
+        return {
+            "encoders": _encoders_init(k1, args),
+            "post1": nn.dense_init(k2, h1, args.hidden_dim),
+            "post2": nn.dense_init(k3, args.hidden_dim, args.hidden_dim),
+            "heads": _heads_init(k4, args.hidden_dim, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        b = a.shape[0]
+        one = jnp.ones((b, 1), a.dtype)
+        a1, t1, v1 = (jnp.concatenate([one, x], axis=1) for x in (a, t, v))
+        # outer product fusion [b, (h+1)^3]
+        fused = jnp.einsum("bi,bj,bk->bijk", a1, t1, v1).reshape(b, -1)
+        h = jax.nn.relu(nn.dense(params["post1"], fused))
+        h = jax.nn.relu(nn.dense(params["post2"], h))
+        emos, vals = _heads(params["heads"], h)
+        return h, emos, vals, jnp.zeros(())
+
+
+# -- LMF: low-rank multimodal fusion (reference toolkit/models/lmf.py) -----------
+
+
+@registry.register_model("toolkit_lmf")
+class LMF:
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 6)
+        h1 = args.hidden_dim + 1
+
+        def factor(k):
+            return (jax.random.normal(k, (args.rank, h1, args.hidden_dim)) * 0.02)
+
+        return {
+            "encoders": _encoders_init(keys[0], args),
+            "audio_factor": factor(keys[1]),
+            "text_factor": factor(keys[2]),
+            "video_factor": factor(keys[3]),
+            "fusion_weights": (jax.random.normal(keys[4], (1, args.rank)) * 0.02),
+            "fusion_bias": jnp.zeros((1, args.hidden_dim)),
+            "heads": _heads_init(keys[5], args.hidden_dim, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        b = a.shape[0]
+        one = jnp.ones((b, 1), a.dtype)
+        a1, t1, v1 = (jnp.concatenate([one, x], axis=1) for x in (a, t, v))
+        fa = jnp.einsum("bi,rih->brh", a1, params["audio_factor"])
+        ft = jnp.einsum("bi,rih->brh", t1, params["text_factor"])
+        fv = jnp.einsum("bi,rih->brh", v1, params["video_factor"])
+        zy = fa * ft * fv  # [b, rank, h]
+        feats = jnp.einsum("or,brh->bh", params["fusion_weights"], zy) + params["fusion_bias"]
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
+# -- LF-DNN: late fusion DNN (reference toolkit/models/lf_dnn.py) ----------------
+
+
+@registry.register_model("toolkit_lf_dnn")
+class LFDNN:
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {
+            "encoders": _encoders_init(k1, args),
+            "post": mlp_encoder_init(k2, args.hidden_dim * 3, args.hidden_dim),
+            "heads": _heads_init(k3, args.hidden_dim, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        feats = mlp_encoder(params["post"], jnp.concatenate([a, t, v], axis=1))
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
+# -- EF-LSTM: early fusion LSTM (reference toolkit/models/ef_lstm.py) ------------
+
+
+@registry.register_model("toolkit_ef_lstm")
+class EFLSTM:
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        k1, k2, k3 = jax.random.split(rng, 3)
+        in_dim = args.audio_dim + args.text_dim + args.video_dim
+        return {
+            "lstm": lstm_encoder_init(k1, in_dim, args.hidden_dim),
+            "post": mlp_encoder_init(k2, args.hidden_dim, args.hidden_dim),
+            "heads": _heads_init(k3, args.hidden_dim, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        # frame-aligned inputs [b, t, d*]; early concat along features
+        x = jnp.concatenate([batch["audios"], batch["texts"], batch["videos"]], axis=-1)
+        h = lstm_encoder(params["lstm"], x)
+        feats = mlp_encoder(params["post"], h)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
+# -- MULT: crossmodal transformer (reference toolkit/models/mult.py) -------------
+
+
+def _xattn_block_init(rng, dim, heads, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return {
+        "ln_q": nn.layernorm_init(dim, dtype),
+        "ln_kv": nn.layernorm_init(dim, dtype),
+        "attn": nn.mha_init(k1, dim, dim, heads, dtype=dtype),
+        "ln_ffn": nn.layernorm_init(dim, dtype),
+        "ffn_in": nn.dense_init(k2, dim, dim * 4, dtype=dtype),
+        "ffn_out": nn.dense_init(k3, dim * 4, dim, dtype=dtype),
+    }
+
+
+def _xattn_block(params, q, kv, heads):
+    h = nn.mha(params["attn"], nn.layernorm(params["ln_q"], q),
+               nn.layernorm(params["ln_kv"], kv), heads)
+    q = q + h
+    f = nn.dense(params["ffn_out"], jax.nn.relu(nn.dense(params["ffn_in"],
+                 nn.layernorm(params["ln_ffn"], q))))
+    return q + f
+
+
+@registry.register_model("toolkit_mult")
+class MULT:
+    """Crossmodal transformer: each target modality attends to the other two
+    streams, outputs concatenated (core of reference mult.py:1-145)."""
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 12)
+        d = args.hidden_dim
+        proj = {
+            "audio": nn.dense_init(keys[0], args.audio_dim, d),
+            "text": nn.dense_init(keys[1], args.text_dim, d),
+            "video": nn.dense_init(keys[2], args.video_dim, d),
+        }
+        blocks = {}
+        idx = 3
+        for tgt in ("audio", "text", "video"):
+            for src in ("audio", "text", "video"):
+                if tgt == src:
+                    continue
+                blocks[f"{tgt}_from_{src}"] = [
+                    _xattn_block_init(jax.random.fold_in(keys[idx], l), d, args.num_heads)
+                    for l in range(args.num_layers)
+                ]
+                idx += 1
+        k_h = keys[idx]
+        return {"proj": proj, "blocks": blocks, "heads": _heads_init(k_h, d * 6, args)}
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        streams = {
+            "audio": nn.dense(params["proj"]["audio"], batch["audios"]),
+            "text": nn.dense(params["proj"]["text"], batch["texts"]),
+            "video": nn.dense(params["proj"]["video"], batch["videos"]),
+        }
+        # utterance features become length-1 sequences
+        streams = {k: v[:, None, :] if v.ndim == 2 else v for k, v in streams.items()}
+        outs = []
+        for tgt in ("audio", "text", "video"):
+            for src in ("audio", "text", "video"):
+                if tgt == src:
+                    continue
+                q = streams[tgt]
+                for block in params["blocks"][f"{tgt}_from_{src}"]:
+                    q = _xattn_block(block, q, streams[src], args.num_heads)
+                outs.append(jnp.mean(q, axis=1))
+        feats = jnp.concatenate(outs, axis=-1)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
+# -- MISA: modality-invariant/-specific (reference toolkit/models/misa.py) -------
+
+
+@registry.register_model("toolkit_misa")
+class MISA:
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 9)
+        d = args.hidden_dim
+        return {
+            "encoders": _encoders_init(keys[0], args),
+            "shared": nn.dense_init(keys[1], d, d),
+            "private": {
+                "audio": nn.dense_init(keys[2], d, d),
+                "text": nn.dense_init(keys[3], d, d),
+                "video": nn.dense_init(keys[4], d, d),
+            },
+            "recon": nn.dense_init(keys[5], d, d),
+            "fusion": mlp_encoder_init(keys[6], d * 6, d),
+            "heads": _heads_init(keys[7], d, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        shared = {m: jax.nn.sigmoid(nn.dense(params["shared"], x))
+                  for m, x in zip(("audio", "text", "video"), (a, t, v))}
+        private = {m: jax.nn.sigmoid(nn.dense(params["private"][m], x))
+                   for m, x in zip(("audio", "text", "video"), (a, t, v))}
+        # aux losses: similarity of shared spaces (CMD proxy: mean diff) +
+        # orthogonality of private vs shared + reconstruction
+        sim = sum(
+            jnp.mean((shared[m1] - shared[m2]) ** 2)
+            for m1, m2 in (("audio", "text"), ("audio", "video"), ("text", "video"))
+        )
+        diff = sum(
+            jnp.mean(jnp.sum(shared[m] * private[m], axis=-1) ** 2)
+            for m in ("audio", "text", "video")
+        )
+        recon = sum(
+            jnp.mean((nn.dense(params["recon"], shared[m] + private[m]) - x) ** 2)
+            for m, x in zip(("audio", "text", "video"), (a, t, v))
+        )
+        interloss = sim + 0.1 * diff + recon
+        fused = jnp.concatenate(
+            [shared["audio"], shared["text"], shared["video"],
+             private["audio"], private["text"], private["video"]], axis=-1
+        )
+        feats = mlp_encoder(params["fusion"], fused)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, interloss
+
+
+FUSION_MODELS: Dict[str, type] = {
+    "attention": AttentionFusion,
+    "tfn": TFN,
+    "lmf": LMF,
+    "lf_dnn": LFDNN,
+    "ef_lstm": EFLSTM,
+    "mult": MULT,
+    "misa": MISA,
+}

@@ -1,0 +1,82 @@
+"""Toolkit fusion baseline tests: all models produce the 4-tuple contract
+and train a step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from affectgpt_tpu.toolkit.models import FUSION_MODELS, FusionArgs
+
+ARGS = FusionArgs.tiny()
+
+
+def make_batch(b=4, frame=False, t=5):
+    rng = np.random.RandomState(0)
+    if frame:
+        return {
+            "audios": jnp.asarray(rng.randn(b, t, ARGS.audio_dim), jnp.float32),
+            "texts": jnp.asarray(rng.randn(b, t, ARGS.text_dim), jnp.float32),
+            "videos": jnp.asarray(rng.randn(b, t, ARGS.video_dim), jnp.float32),
+        }
+    return {
+        "audios": jnp.asarray(rng.randn(b, ARGS.audio_dim), jnp.float32),
+        "texts": jnp.asarray(rng.randn(b, ARGS.text_dim), jnp.float32),
+        "videos": jnp.asarray(rng.randn(b, ARGS.video_dim), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(set(FUSION_MODELS) - {"ef_lstm"}))
+def test_fusion_contract(name):
+    model = FUSION_MODELS[name]
+    params = model.init(jax.random.PRNGKey(0), ARGS)
+    feats, emos, vals, interloss = model.apply(params, ARGS, make_batch())
+    assert emos.shape == (4, ARGS.output_dim1)
+    assert vals.shape == (4, ARGS.output_dim2)
+    assert np.isfinite(np.asarray(emos)).all()
+    assert float(interloss) >= 0
+
+
+def test_ef_lstm_frame_input():
+    model = FUSION_MODELS["ef_lstm"]
+    params = model.init(jax.random.PRNGKey(0), ARGS)
+    feats, emos, vals, _ = model.apply(params, ARGS, make_batch(frame=True))
+    assert emos.shape == (4, ARGS.output_dim1)
+
+
+def test_lstm_feat_type_models():
+    args = FusionArgs(
+        text_dim=12, audio_dim=10, video_dim=8, hidden_dim=16,
+        output_dim1=4, feat_type="frm_align", num_heads=2, num_layers=1,
+    )
+    model = FUSION_MODELS["attention"]
+    params = model.init(jax.random.PRNGKey(0), args)
+    _, emos, _, _ = model.apply(params, args, make_batch(frame=True))
+    assert emos.shape == (4, 4)
+
+
+def test_fusion_trains():
+    model = FUSION_MODELS["lmf"]
+    params = model.init(jax.random.PRNGKey(0), ARGS)
+    batch = make_batch()
+    labels = jnp.asarray(np.random.RandomState(1).randint(0, ARGS.output_dim1, (4,)))
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            _, emos, _, inter = model.apply(p, ARGS, batch)
+            ce = optax.softmax_cross_entropy_with_integer_labels(emos, labels).mean()
+            return ce + inter
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(10):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
