@@ -136,8 +136,37 @@ def init_lora(rng: jax.Array, cfg: QwenConfig, dtype=jnp.float32) -> dict:
 # Forward
 
 
+def _int8_shapes_ok(x2d, w_q, block_n: int = 512, block_k: int = 512) -> bool:
+    k, n = w_q.shape
+    return n % min(block_n, n) == 0 and k % min(block_k, k) == 0
+
+
+def quantize_params(params: dict) -> dict:
+    """Int8-quantize the decoder projection weights for serving; embeddings
+    and norms stay bf16 (embedding gathers are cheap; norms are vectors)."""
+    from affectgpt_tpu.ops import quant
+
+    out = dict(params)
+    out["layers"] = [quant.quantize_dense_tree(layer) for layer in params["layers"]]
+    if "lm_head" in params:
+        out["lm_head"] = quant.quantize_dense_tree(params["lm_head"])
+    return out
+
+
 def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
-    y = jnp.dot(x, base["w"], preferred_element_type=jnp.float32)
+    if "w_q" in base:
+        # int8 serving mode: fused dequant matmul (Pallas on TPU, XLA elsewhere)
+        from affectgpt_tpu.ops import quant
+
+        orig_shape = x.shape
+        x2d = x.reshape(-1, orig_shape[-1])
+        if jax.default_backend() == "tpu" and _int8_shapes_ok(x2d, base["w_q"]):
+            y = quant.int8_matmul(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
+        else:
+            y = quant.int8_matmul_xla(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
+        y = y.reshape(*orig_shape[:-1], base["w_q"].shape[1])
+    else:
+        y = jnp.dot(x, base["w"], preferred_element_type=jnp.float32)
     if lora is not None:
         z = jnp.dot(x, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
         z = jnp.dot(z.astype(x.dtype), lora["b"].astype(x.dtype), preferred_element_type=jnp.float32)
@@ -259,6 +288,10 @@ def forward(
     if cfg.tie_embeddings:
         logits = jnp.dot(
             x, params["embed_tokens"]["table"].T, preferred_element_type=jnp.float32
+        )
+    elif "w_q" in params["lm_head"]:
+        logits = _lora_dense(params["lm_head"], None, x, 0.0, has_bias=False).astype(
+            jnp.float32
         )
     else:
         logits = jnp.dot(x, params["lm_head"]["w"], preferred_element_type=jnp.float32)

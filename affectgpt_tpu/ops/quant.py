@@ -1,0 +1,121 @@
+"""Int8 weight quantization with a fused Pallas dequant-matmul kernel.
+
+Serving-mode optimization with no reference equivalent (the reference
+serves fp16 through HF generate): autoregressive decode is HBM-bandwidth
+bound — every step re-reads all decoder weights — so storing them int8
+with per-output-channel scales halves the bytes per step. The Pallas
+kernel streams int8 tiles HBM→VMEM, upcasts in registers, runs the MXU
+matmul in fp32 accumulation, and applies the channel scales on the final
+K step; the dequantized weights never exist in HBM.
+
+Layout: w_q int8 [K, N], scales f32 [1, N] (absmax per output channel).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float → (int8 [K, N], scales f32 [1, N])."""
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0, keepdims=True)  # [1, N]
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:].astype(jnp.bfloat16)
+    w = w_ref[:].astype(jnp.bfloat16)  # int8 → bf16 upcast in VMEM
+    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(1) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def int8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    scales: jnp.ndarray,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [M, K] (bf16/f32) @ dequant(w_q [K, N], scales [1, N]) → [M, N] x.dtype.
+
+    M stays unblocked (decode batches are small); grid is (N/bn, K/bk) with
+    K innermost, accumulating in an f32 VMEM scratch tile.
+    """
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scales.shape == (1, n)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    assert n % block_n == 0 and k % block_k == 0, (k, n, block_k, block_n)
+
+    grid = (n // block_n, k // block_k)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, block_k), lambda i, j: (0, j)),
+            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i)),
+            pl.BlockSpec((1, block_n), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda i, j: (0, i)),
+        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q, scales)
+
+
+def int8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback with identical semantics (used on CPU / for testing)."""
+    y = jnp.dot(
+        x.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    return (y * scales.astype(jnp.float32)).astype(x.dtype)
+
+
+def quantize_dense_tree(params) -> dict:
+    """Quantize every 2-D 'w' leaf of a dense-params pytree in place
+    (dict-level): {'w': [K,N], 'b'?} → {'w_q', 'scales', 'b'?}."""
+
+    def visit(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                w_q, scales = quantize_per_channel(node["w"])
+                out = {"w_q": w_q, "scales": scales}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: visit(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(params)
