@@ -133,6 +133,13 @@ class Runner:
         self.output_dir = cfg.output_dir if job_id is None else f"{cfg.output_dir}/{job_id}"
         self.json_log = JsonLinesLogger(self.output_dir)
         self.visualizer = TrainingVisualizer(self.output_dir)
+        self.tb = None
+        if run.get("tensorboard", False):
+            import os as _os
+
+            from affectgpt_tpu.utils.tensorboard import TensorBoardLogger
+
+            self.tb = TensorBoardLogger(_os.path.join(self.output_dir, "tb"))
         self.start_epoch = 0
 
         resume = run.get("resume_ckpt_path")
@@ -174,6 +181,9 @@ class Runner:
                     loss = float(metrics["loss"])  # host sync point
                     metrics_log.update(loss=loss, lr=lr)
                     self.visualizer.record(loss=loss, lr=lr)
+                    if self.tb is not None:
+                        self.tb.add_scalar("train/loss", loss, step)
+                        self.tb.add_scalar("train/lr", lr, step)
                     logger.info(
                         "epoch %d iter %d/%d loss %.4f lr %.2e",
                         epoch, it, self.iters_per_epoch, loss, lr,
