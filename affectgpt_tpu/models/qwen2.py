@@ -212,15 +212,18 @@ def _attention(
         new_cache = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
+    # GQA without materializing repeated K/V: fold the query-head groups into
+    # a 5-D einsum so XLA broadcasts K/V inside the matmul (a jnp.repeat here
+    # would read+write the full repeated cache every decode step — the
+    # dominant HBM cost at large batch).
     groups = cfg.num_heads // cfg.num_kv_heads
-    kr = jnp.repeat(k, groups, axis=2)
-    vr = jnp.repeat(v, groups, axis=2)
-
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kr, preferred_element_type=jnp.float32)
+    qg = q.reshape(b, t, cfg.num_kv_heads, groups, cfg.head_dim)
+    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(float(cfg.head_dim))
-    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(vr.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vr, preferred_element_type=jnp.float32)
+    mask5 = mask[:, :, None, :, :] if mask.ndim == 4 else mask
+    logits = jnp.where(mask5, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, cfg.num_heads * cfg.head_dim)
     return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
 
