@@ -1,0 +1,41 @@
+"""Toolkit trainer test: synthetic feature table → training improves the
+combined metric; evaluation contract."""
+
+import numpy as np
+
+from affectgpt_tpu.toolkit.models import FusionArgs
+from affectgpt_tpu.toolkit.train import (
+    FeatureTable,
+    evaluate_fusion_model,
+    train_fusion_model,
+)
+
+
+def make_tables(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    args = FusionArgs.tiny()
+    emos = rng.randint(0, args.output_dim1, n)
+    # features carry the label signal in the audio stream
+    audios = rng.randn(n, args.audio_dim).astype(np.float32)
+    audios[:, 0] = emos * 1.0
+    vals = (emos - args.output_dim1 / 2).astype(np.float32) / args.output_dim1
+    table = FeatureTable(
+        names=[f"s{i}" for i in range(n)],
+        audios=audios,
+        texts=rng.randn(n, args.text_dim).astype(np.float32),
+        videos=rng.randn(n, args.video_dim).astype(np.float32),
+        emos=emos,
+        vals=vals,
+    )
+    return args, table
+
+
+def test_train_improves_metrics():
+    args, table = make_tables()
+    params, history = train_fusion_model(
+        "attention", args, table, test=table, epochs=12, batch_size=16, lr=5e-3
+    )
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    final = evaluate_fusion_model("attention", args, params, table)
+    assert final["emo_accuracy"] > 0.5  # learnable synthetic signal
+    assert "combined" in final and "val_mse" in final
