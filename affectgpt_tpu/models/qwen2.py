@@ -136,9 +136,14 @@ def init_lora(rng: jax.Array, cfg: QwenConfig, dtype=jnp.float32) -> dict:
 # Forward
 
 
-def _int8_shapes_ok(x2d, w_q, block_n: int = 512, block_k: int = 512) -> bool:
+def _int8_shapes_ok(x2d, w_q, block_m: int = 256, block_n: int = 512, block_k: int = 512) -> bool:
+    m = x2d.shape[0]
     k, n = w_q.shape
-    return n % min(block_n, n) == 0 and k % min(block_k, k) == 0
+    return (
+        m % min(block_m, m) == 0
+        and n % min(block_n, n) == 0
+        and k % min(block_k, k) == 0
+    )
 
 
 def quantize_params(params: dict) -> dict:

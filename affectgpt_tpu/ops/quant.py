@@ -33,7 +33,7 @@ def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
-    k_idx = pl.program_id(1)
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -43,46 +43,50 @@ def _kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
     w = w_ref[:].astype(jnp.bfloat16)  # int8 → bf16 upcast in VMEM
     acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
 
-    @pl.when(k_idx == pl.num_programs(1) - 1)
+    @pl.when(k_idx == pl.num_programs(2) - 1)
     def _():
         o_ref[:] = (acc_ref[:] * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+@partial(jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret"))
 def int8_matmul(
     x: jnp.ndarray,
     w_q: jnp.ndarray,
     scales: jnp.ndarray,
+    block_m: int = 256,
     block_n: int = 512,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x [M, K] (bf16/f32) @ dequant(w_q [K, N], scales [1, N]) → [M, N] x.dtype.
 
-    M stays unblocked (decode batches are small); grid is (N/bn, K/bk) with
-    K innermost, accumulating in an f32 VMEM scratch tile.
+    Grid (M/bm, N/bn, K/bk) with K innermost, accumulating in an f32 VMEM
+    scratch tile; M tiles cover both decode (small M) and prefill (M = B·T).
     """
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2 and scales.shape == (1, n)
+    block_m = min(block_m, m)
     block_n = min(block_n, n)
     block_k = min(block_k, k)
-    assert n % block_n == 0 and k % block_k == 0, (k, n, block_k, block_n)
+    assert m % block_m == 0 and n % block_n == 0 and k % block_k == 0, (
+        m, k, n, block_m, block_k, block_n,
+    )
 
-    grid = (n // block_n, k // block_k)
+    grid = (m // block_m, n // block_n, k // block_k)
     return pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, block_k), lambda i, j: (0, j)),
-            pl.BlockSpec((block_k, block_n), lambda i, j: (j, i)),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, i)),
+            pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, l: (0, j)),
         ],
-        out_specs=pl.BlockSpec((m, block_n), lambda i, j: (0, i)),
-        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
