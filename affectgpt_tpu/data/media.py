@@ -88,8 +88,17 @@ def _native_wav_reader():
         return _NATIVE_WAV or None
     import ctypes
 
-    lib_path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libwavio.so")
-    lib_path = os.path.abspath(lib_path)
+    native_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+    lib_path = os.path.join(native_dir, "libwavio.so")
+    if not os.path.exists(lib_path):
+        # try a one-shot build (g++ is part of the toolchain contract)
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True, capture_output=True)
+        except Exception:
+            _NATIVE_WAV = False
+            return None
     if not os.path.exists(lib_path):
         _NATIVE_WAV = False
         return None
