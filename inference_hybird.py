@@ -47,7 +47,30 @@ def parse_args():
     parser.add_argument("--outside_face_or_frame", default=None)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--max_new_tokens", type=int, default=300)
+    parser.add_argument("--ckpt_root", default=None,
+                        help="run dir holding checkpoint_*; defaults to auto-discovery "
+                             "under output/<cfg-name> (most checkpoints wins)")
+    parser.add_argument("--epochs", default="last",
+                        help="'last', 'all', a single epoch number, or 'a-b' range")
+    parser.add_argument("--int8", action="store_true",
+                        help="int8 serving mode (quantized decoder weights)")
     return parser.parse_args()
+
+
+def select_epochs(ckpts, spec: str):
+    """[(epoch, path)] filtered by 'last' | 'all' | 'N' | 'A-B'
+    (reference epoch selection, inference_hybird.py:60-83)."""
+    if not ckpts:
+        return []
+    if spec == "last":
+        return [ckpts[-1]]
+    if spec == "all":
+        return ckpts
+    if "-" in spec:
+        lo, hi = (int(s) for s in spec.split("-"))
+        return [(e, p) for e, p in ckpts if lo <= e <= hi]
+    want = int(spec)
+    return [(e, p) for e, p in ckpts if e == want]
 
 
 def get_user_message(zeroshot: bool, outside: str | None, use_reasoning: bool) -> str:
@@ -66,7 +89,11 @@ def main() -> None:
     cfg = Config.from_file(args.cfg_path, args.options) if args.cfg_path else Config.from_dict({})
 
     model_cfg, frozen, trainable, tokenizer = build_model(cfg, with_encoders=True)
-    chat = Chat(frozen, trainable, model_cfg, tokenizer)
+    if args.int8:
+        from affectgpt_tpu.models import qwen2
+
+        frozen = dict(frozen)
+        frozen["llm"] = qwen2.quantize_params(frozen["llm"])
     inference_cfg = cfg.inference
 
     datasets = (
@@ -80,7 +107,13 @@ def main() -> None:
     )
 
     result_root = os.path.join("output", "results", cfg.name)
-    epoch_tag = inference_cfg.get("epoch", "latest")
+
+    # checkpoint-epoch loop: auto-discover the run dir with the most
+    # checkpoints (reference inference_hybird.py:32-54), select epochs.
+    ckpt_root = args.ckpt_root or checkpoint.discover_checkpoint_root(cfg.output_dir)
+    epochs = select_epochs(
+        checkpoint.list_checkpoints(ckpt_root) if ckpt_root else [], args.epochs
+    ) or [(0, None)]  # zero-shot (no checkpoints): single pass with init weights
 
     data_model_cfg = ModelDataConfig(
         num_video_query_token=model_cfg.num_video_query_token,
@@ -89,6 +122,20 @@ def main() -> None:
         num_image_query_token=model_cfg.num_image_query_token,
     )
 
+    for epoch, ckpt_path in epochs:
+        epoch_trainable = (
+            checkpoint.apply_checkpoint_overlays(trainable, ckpt_path)
+            if ckpt_path else trainable
+        )
+        chat = Chat(frozen, epoch_trainable, model_cfg, tokenizer)
+        run_datasets(
+            args, cfg, chat, frozen, model_cfg, tokenizer, datasets, face_or_frame,
+            user_message, result_root, str(epoch), data_model_cfg,
+        )
+
+
+def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
+                 face_or_frame, user_message, result_root, epoch_tag, data_model_cfg):
     for ds_name in datasets:
         node = dict(cfg.datasets.get(ds_name.lower(), {}) or {})
         node.setdefault("face_or_frame", face_or_frame)
