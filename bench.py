@@ -27,7 +27,7 @@ import numpy as np
 
 REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
 
-BATCH = 64
+BATCH = 256
 PROMPT_LEN = 128
 NEW_TOKENS = 32
 MAX_LEN = 192
