@@ -173,6 +173,91 @@ def convert_clip_text(model_dir: str, dtype=np.float32) -> dict:
     return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
 
 
+def convert_dinov2(model_dir: str, dtype=np.float32) -> dict:
+    """HF Dinov2Model → vit_variants dinov2 layout."""
+    state = _load_torch_state(model_dir)
+
+    def block(i):
+        p = f"encoder.layer.{i}"
+        return {
+            "ln1": _ln(state, f"{p}.norm1"),
+            "attn": {
+                "q": _dense(state, f"{p}.attention.attention.query"),
+                "k": _dense(state, f"{p}.attention.attention.key"),
+                "v": _dense(state, f"{p}.attention.attention.value"),
+                "o": _dense(state, f"{p}.attention.output.dense"),
+            },
+            "ls1": state[f"{p}.layer_scale1.lambda1"],
+            "ln2": _ln(state, f"{p}.norm2"),
+            "mlp_in": _dense(state, f"{p}.mlp.fc1"),
+            "mlp_out": _dense(state, f"{p}.mlp.fc2"),
+            "ls2": state[f"{p}.layer_scale2.lambda1"],
+        }
+
+    n_layers = 0
+    while f"encoder.layer.{n_layers}.norm1.weight" in state:
+        n_layers += 1
+
+    conv = state["embeddings.patch_embeddings.projection.weight"]
+    o, c, kh, kw = conv.shape
+    import jax
+
+    params = {
+        "patch_embed": {
+            "w": np.ascontiguousarray(conv.reshape(o, c * kh * kw).T),
+            "b": state["embeddings.patch_embeddings.projection.bias"],
+        },
+        "cls_token": state["embeddings.cls_token"].reshape(-1),
+        "pos_embed": {"table": state["embeddings.position_embeddings"][0]},
+        "blocks": [block(i) for i in range(n_layers)],
+        "final_ln": _ln(state, "layernorm"),
+    }
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+
+
+def convert_siglip_vision(model_dir: str, dtype=np.float32) -> dict:
+    """HF SiglipVisionModel (or SiglipModel vision tower) → siglip layout."""
+    state = _load_torch_state(model_dir)
+    pre = "vision_model" if any(k.startswith("vision_model.") for k in state) else None
+
+    def key(suffix):
+        return f"{pre}.{suffix}" if pre else suffix
+
+    def block(i):
+        p = key(f"encoder.layers.{i}")
+        return {
+            "ln1": _ln(state, f"{p}.layer_norm1"),
+            "attn": {
+                "q": _dense(state, f"{p}.self_attn.q_proj"),
+                "k": _dense(state, f"{p}.self_attn.k_proj"),
+                "v": _dense(state, f"{p}.self_attn.v_proj"),
+                "o": _dense(state, f"{p}.self_attn.out_proj"),
+            },
+            "ln2": _ln(state, f"{p}.layer_norm2"),
+            "mlp_in": _dense(state, f"{p}.mlp.fc1"),
+            "mlp_out": _dense(state, f"{p}.mlp.fc2"),
+        }
+
+    n_layers = 0
+    while key(f"encoder.layers.{n_layers}.layer_norm1.weight") in state:
+        n_layers += 1
+
+    conv = state[key("embeddings.patch_embedding.weight")]
+    o, c, kh, kw = conv.shape
+    import jax
+
+    params = {
+        "patch_embed": {
+            "w": np.ascontiguousarray(conv.reshape(o, c * kh * kw).T),
+            "b": state[key("embeddings.patch_embedding.bias")],
+        },
+        "pos_embed": {"table": state[key("embeddings.position_embedding.weight")]},
+        "blocks": [block(i) for i in range(n_layers)],
+        "post_ln": _ln(state, key("post_layernorm")),
+    }
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+
+
 def convert_hubert(model_dir: str, dtype=np.float32) -> dict:
     """HF HubertModel (large, stable-LN) → hubert layout."""
     state = _load_torch_state(model_dir)

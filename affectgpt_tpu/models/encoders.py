@@ -1,0 +1,105 @@
+"""Registry-keyed frozen encoder wrappers.
+
+The reference exposes its encoder zoo through registry names consumed by
+the model config (reference: my_affectgpt/models/encoder.py:43-433,
+@registry.register_visual_encoder / register_acoustic_encoder). Same
+contract here: each entry bundles (hidden_size, config, init, convert,
+encode-batch) so `visual_encoder: CLIP_VIT_LARGE` style YAML keys resolve
+identically. encode() signatures: visual [b, t, H, W, 3] normalized
+floats → [b, t, d]; acoustic [b, clips, 1, samples] → [b, clips, d].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from affectgpt_tpu import registry
+from affectgpt_tpu.models import clip_vit, hubert, vit_variants
+
+
+@dataclass(frozen=True)
+class EncoderSpec:
+    name: str
+    hidden_size: int
+    make_config: Callable
+    init_params: Callable  # (rng, cfg, dtype) -> params
+    convert: Optional[Callable]  # model_dir -> params
+    encode: Callable  # (params, cfg, batch) -> features
+
+
+def _encode_frames(encode_one):
+    def fn(params, cfg, frames):  # [b, t, H, W, 3]
+        b, t = frames.shape[:2]
+        flat = frames.reshape(b * t, *frames.shape[2:])
+        out = encode_one(params, cfg, flat)
+        return out.reshape(b, t, -1)
+
+    return fn
+
+
+def _register(namespace: str, spec: EncoderSpec):
+    registry.register(namespace, spec.name)(spec)
+    return spec
+
+
+from affectgpt_tpu.models import convert as convert_mod  # noqa: E402
+
+CLIP_VIT_LARGE = _register(
+    "visual_encoder",
+    EncoderSpec(
+        name="CLIP_VIT_LARGE",
+        hidden_size=768,  # projection dim (reference encoder.py:193)
+        make_config=clip_vit.ClipVisionConfig.vit_l_14,
+        init_params=clip_vit.init_vision_params,
+        convert=convert_mod.convert_clip_vision,
+        encode=_encode_frames(clip_vit.encode_image),
+    ),
+)
+
+DINO2_LARGE = _register(
+    "visual_encoder",
+    EncoderSpec(
+        name="DINO2_LARGE",
+        hidden_size=1024,  # reference encoder.py:229
+        make_config=vit_variants.Dinov2Config.large,
+        init_params=vit_variants.init_dinov2_params,
+        convert=convert_mod.convert_dinov2,
+        encode=_encode_frames(vit_variants.dinov2_encode),
+    ),
+)
+
+SigLIP_SO = _register(
+    "visual_encoder",
+    EncoderSpec(
+        name="SigLIP_SO",
+        hidden_size=1152,  # reference encoder.py:262
+        make_config=vit_variants.SiglipConfig.so400m,
+        init_params=vit_variants.init_siglip_params,
+        convert=convert_mod.convert_siglip_vision,
+        encode=_encode_frames(vit_variants.siglip_encode),
+    ),
+)
+
+HUBERT_LARGE = _register(
+    "acoustic_encoder",
+    EncoderSpec(
+        name="HUBERT_LARGE",
+        hidden_size=1024,
+        make_config=hubert.HubertConfig.large,
+        init_params=hubert.init_params,
+        convert=convert_mod.convert_hubert,
+        encode=hubert.encode_clips,
+    ),
+)
+
+
+def get_visual_encoder(name: str) -> EncoderSpec:
+    return registry.get("visual_encoder", name)
+
+
+def get_acoustic_encoder(name: str) -> EncoderSpec:
+    return registry.get("acoustic_encoder", name)
