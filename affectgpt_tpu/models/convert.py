@@ -173,6 +173,78 @@ def convert_clip_text(model_dir: str, dtype=np.float32) -> dict:
     return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
 
 
+def convert_wavlm(model_dir: str, dtype=np.float32) -> dict:
+    """HF WavLMModel (large, stable-LN) → wav_encoders wavlm layout."""
+    params = convert_hubert(model_dir, dtype=dtype)
+    state = _load_torch_state(model_dir)
+    params["rel_attn_embed"] = {
+        "table": np.asarray(state["encoder.layers.0.attention.rel_attn_embed.weight"], dtype=dtype)
+    }
+    for i, layer in enumerate(params["layers"]):
+        p = f"encoder.layers.{i}.attention"
+        layer["gru_rel_pos_linear"] = {
+            "w": np.asarray(state[f"{p}.gru_rel_pos_linear.weight"].T, dtype=dtype),
+            "b": np.asarray(state[f"{p}.gru_rel_pos_linear.bias"], dtype=dtype),
+        }
+        layer["gru_rel_pos_const"] = np.asarray(state[f"{p}.gru_rel_pos_const"], dtype=dtype)
+    return params
+
+
+def convert_data2vec_audio(model_dir: str, dtype=np.float32) -> dict:
+    """HF Data2VecAudioModel → wav_encoders data2vec layout."""
+    state = _load_torch_state(model_dir)
+    import jax
+
+    convs = []
+    i = 0
+    while f"feature_extractor.conv_layers.{i}.conv.weight" in state:
+        p = f"feature_extractor.conv_layers.{i}"
+        convs.append(
+            {
+                "w": state[f"{p}.conv.weight"],
+                "b": state.get(f"{p}.conv.bias", np.zeros(state[f"{p}.conv.weight"].shape[0])),
+                "ln": _ln(state, f"{p}.layer_norm"),
+            }
+        )
+        i += 1
+
+    pos_convs = []
+    i = 0
+    while f"encoder.pos_conv_embed.layers.{i}.conv.weight" in state:
+        p = f"encoder.pos_conv_embed.layers.{i}"
+        pos_convs.append({"w": state[f"{p}.conv.weight"], "b": state[f"{p}.conv.bias"]})
+        i += 1
+
+    def layer(i):
+        p = f"encoder.layers.{i}"
+        return {
+            "attn": {
+                "q": _dense(state, f"{p}.attention.q_proj"),
+                "k": _dense(state, f"{p}.attention.k_proj"),
+                "v": _dense(state, f"{p}.attention.v_proj"),
+                "o": _dense(state, f"{p}.attention.out_proj"),
+            },
+            "attn_ln": _ln(state, f"{p}.layer_norm"),
+            "ffn_in": _dense(state, f"{p}.feed_forward.intermediate_dense"),
+            "ffn_out": _dense(state, f"{p}.feed_forward.output_dense"),
+            "ffn_ln": _ln(state, f"{p}.final_layer_norm"),
+        }
+
+    n_layers = 0
+    while f"encoder.layers.{n_layers}.layer_norm.weight" in state:
+        n_layers += 1
+
+    params = {
+        "convs": convs,
+        "feat_proj_ln": _ln(state, "feature_projection.layer_norm"),
+        "feat_proj": _dense(state, "feature_projection.projection"),
+        "pos_convs": pos_convs,
+        "encoder_ln": _ln(state, "encoder.layer_norm"),
+        "layers": [layer(i) for i in range(n_layers)],
+    }
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+
+
 def convert_dinov2(model_dir: str, dtype=np.float32) -> dict:
     """HF Dinov2Model → vit_variants dinov2 layout."""
     state = _load_torch_state(model_dir)

@@ -96,6 +96,32 @@ HUBERT_LARGE = _register(
     ),
 )
 
+from affectgpt_tpu.models import wav_encoders  # noqa: E402
+
+WAVLM_LARGE = _register(
+    "acoustic_encoder",
+    EncoderSpec(
+        name="WAVLM_LARGE",
+        hidden_size=1024,
+        make_config=wav_encoders.WavLMConfig.large,
+        init_params=wav_encoders.init_wavlm_params,
+        convert=convert_mod.convert_wavlm,
+        encode=wav_encoders.wavlm_encode_clips,
+    ),
+)
+
+DATA2VEC_BASE = _register(
+    "acoustic_encoder",
+    EncoderSpec(
+        name="DATA2VEC_BASE",
+        hidden_size=768,
+        make_config=wav_encoders.Data2VecAudioConfig.base,
+        init_params=wav_encoders.init_data2vec_params,
+        convert=convert_mod.convert_data2vec_audio,
+        encode=wav_encoders.data2vec_encode_clips,
+    ),
+)
+
 
 def get_visual_encoder(name: str) -> EncoderSpec:
     return registry.get("visual_encoder", name)
