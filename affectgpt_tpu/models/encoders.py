@@ -96,7 +96,45 @@ HUBERT_LARGE = _register(
     ),
 )
 
-from affectgpt_tpu.models import wav_encoders  # noqa: E402
+from affectgpt_tpu.models import eva_vit, wav_encoders  # noqa: E402
+
+EVA_CLIP_G_NO_QFORMER = _register(
+    "visual_encoder",
+    EncoderSpec(
+        name="EVA_CLIP_G_NO_QFORMER",
+        hidden_size=1408,  # reference encoder.py:123-176
+        make_config=eva_vit.EvaVitConfig.vit_g_14,
+        init_params=eva_vit.init_params,
+        convert=None,  # EVA ships raw state dicts: use eva_vit.convert_eva_state
+        encode=_encode_frames(eva_vit.encode_mean),
+    ),
+)
+
+
+def _encode_frames_blip2(params, cfg, frames):
+    """EVA_CLIP_G: [b, t, H, W, 3] → [b, t, 32, 768] (reference
+    encoder.py:43-122). params = {'vit': ..., 'head': ...}."""
+    b, t = frames.shape[:2]
+    flat = frames.reshape(b * t, *frames.shape[2:])
+    out = eva_vit.encode_blip2(params["vit"], params["head"], cfg, flat)
+    return out.reshape(b, t, out.shape[-2], out.shape[-1])
+
+
+EVA_CLIP_G = _register(
+    "visual_encoder",
+    EncoderSpec(
+        name="EVA_CLIP_G",
+        hidden_size=768,  # BLIP2 Q-Former output width
+        make_config=eva_vit.EvaVitConfig.vit_g_14,
+        init_params=lambda rng, cfg, dtype=None: {
+            "vit": eva_vit.init_params(rng, cfg, dtype or jnp.bfloat16),
+            "head": eva_vit.init_blip2_head(jax.random.fold_in(rng, 1), cfg,
+                                            dtype=dtype or jnp.bfloat16),
+        },
+        convert=None,
+        encode=_encode_frames_blip2,
+    ),
+)
 
 WAVLM_LARGE = _register(
     "acoustic_encoder",

@@ -65,7 +65,22 @@ def init_merger(rng: jax.Array, cfg: MergerConfig, dtype=jnp.float32) -> dict:
 
 
 def apply_merger(params: dict, cfg: MergerConfig, features: jnp.ndarray) -> jnp.ndarray:
-    """[b, t, feat_dim] → [b, num_query_tokens, llm_dim]."""
+    """[b, t, feat_dim] (or [b, t, q, feat_dim] from BLIP2-style encoders)
+    → [b, num_query_tokens, llm_dim].
+
+    4-D inputs get the temporal position embedding added per frame and are
+    flattened to [b, t·q, d] (reference affectgpt.py:21-27 qformer case1 /
+    mean case1)."""
+    if features.ndim == 4:
+        b, t, q_in, d = features.shape
+        if cfg.fusion_type == "qformer":
+            pos = nn.embedding(params["pos_embed"], jnp.arange(t))  # [t, d]
+            h = features + pos[None, :, None, :].astype(features.dtype)
+            h = h.reshape(b, t * q_in, d)
+            q = qformer.apply(params["qformer"], cfg.qformer_config(), h)
+            return nn.dense(params["proj"], q)
+        features = jnp.mean(features, axis=2)  # [b, t, d] for attention/mean
+
     b, t, _ = features.shape
     if cfg.fusion_type == "qformer":
         pos = nn.embedding(params["pos_embed"], jnp.arange(t))  # [t, d]

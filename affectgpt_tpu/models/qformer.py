@@ -33,6 +33,14 @@ class QFormerConfig:
     encoder_width: int = 768
     num_query_tokens: int = 32
     layer_norm_eps: float = 1e-12
+    # cross-attention every Nth layer (1 for the temporal Q-Formers,
+    # 2 for the BLIP2 image Q-Former; reference affectgpt.py:30 vs blip2.py)
+    cross_attention_freq: int = 1
+
+    @classmethod
+    def blip2(cls, num_query_tokens: int = 32, encoder_width: int = 1408):
+        return cls(num_layers=12, cross_attention_freq=2,
+                   num_query_tokens=num_query_tokens, encoder_width=encoder_width)
 
     @classmethod
     def tiny(cls, encoder_width: int = 16, num_query_tokens: int = 4):
@@ -47,17 +55,19 @@ def init_params(rng: jax.Array, cfg: QFormerConfig, dtype=jnp.float32) -> dict:
     layers = []
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[i], 4)
-        layers.append(
-            {
-                "self_attn": nn.mha_init(k[0], cfg.hidden_size, cfg.hidden_size, cfg.num_heads, dtype=dtype),
-                "self_ln": nn.layernorm_init(cfg.hidden_size, dtype=dtype),
-                "cross_attn": nn.mha_init(k[1], cfg.hidden_size, cfg.encoder_width, cfg.num_heads, dtype=dtype),
-                "cross_ln": nn.layernorm_init(cfg.hidden_size, dtype=dtype),
-                "ffn_in": nn.dense_init(k[2], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),
-                "ffn_out": nn.dense_init(k[3], cfg.intermediate_size, cfg.hidden_size, dtype=dtype),
-                "ffn_ln": nn.layernorm_init(cfg.hidden_size, dtype=dtype),
-            }
-        )
+        layer = {
+            "self_attn": nn.mha_init(k[0], cfg.hidden_size, cfg.hidden_size, cfg.num_heads, dtype=dtype),
+            "self_ln": nn.layernorm_init(cfg.hidden_size, dtype=dtype),
+            "ffn_in": nn.dense_init(k[2], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),
+            "ffn_out": nn.dense_init(k[3], cfg.intermediate_size, cfg.hidden_size, dtype=dtype),
+            "ffn_ln": nn.layernorm_init(cfg.hidden_size, dtype=dtype),
+        }
+        if i % cfg.cross_attention_freq == 0:
+            layer["cross_attn"] = nn.mha_init(
+                k[1], cfg.hidden_size, cfg.encoder_width, cfg.num_heads, dtype=dtype
+            )
+            layer["cross_ln"] = nn.layernorm_init(cfg.hidden_size, dtype=dtype)
+        layers.append(layer)
     return {
         "query_tokens": (
             jax.random.normal(keys[-2], (1, cfg.num_query_tokens, cfg.hidden_size)) * 0.02
@@ -90,8 +100,9 @@ def apply(
     for layer in params["layers"]:
         attn = nn.mha(layer["self_attn"], x, x, cfg.num_heads)
         x = nn.layernorm(layer["self_ln"], x + attn, cfg.layer_norm_eps)
-        cross = nn.mha(layer["cross_attn"], x, encoder_hidden_states, cfg.num_heads, cross_mask)
-        x = nn.layernorm(layer["cross_ln"], x + cross, cfg.layer_norm_eps)
+        if "cross_attn" in layer:
+            cross = nn.mha(layer["cross_attn"], x, encoder_hidden_states, cfg.num_heads, cross_mask)
+            x = nn.layernorm(layer["cross_ln"], x + cross, cfg.layer_norm_eps)
         h = nn.dense(layer["ffn_out"], nn.gelu(nn.dense(layer["ffn_in"], x)))
         x = nn.layernorm(layer["ffn_ln"], x + h, cfg.layer_norm_eps)
     return x
