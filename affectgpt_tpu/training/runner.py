@@ -201,8 +201,17 @@ class Runner:
             checkpoint.save_checkpoint(
                 self.output_dir, 0, self.state.trainable, step=0, config=self.cfg.to_dict()
             )
+        # first-class tracing (SURVEY §5: the reference has none) — set
+        # run.profile_dir to capture a jax.profiler trace of the first epoch.
+        profile_dir = self.cfg.run.get("profile_dir")
         for epoch in range(self.start_epoch, self.max_epoch):
-            stats = self.train_epoch(epoch)
+            if profile_dir and epoch == self.start_epoch:
+                from affectgpt_tpu.utils.logging import profile_trace
+
+                with profile_trace(profile_dir):
+                    stats = self.train_epoch(epoch)
+            else:
+                stats = self.train_epoch(epoch)
             self.json_log.write({"epoch": epoch, **stats})
             self.visualizer.plot_and_save(epoch)
             checkpoint.save_checkpoint(
