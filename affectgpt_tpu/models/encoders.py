@@ -148,6 +148,20 @@ WAVLM_LARGE = _register(
     ),
 )
 
+from affectgpt_tpu.models import imagebind_audio  # noqa: E402
+
+IMAGEBIND = _register(
+    "acoustic_encoder",
+    EncoderSpec(
+        name="IMAGEBIND",
+        hidden_size=1024,  # projected embed dim (reference imagebind_model.py:541)
+        make_config=imagebind_audio.ImageBindAudioConfig.huge,
+        init_params=imagebind_audio.init_params,
+        convert=None,  # raw .pth state dicts: imagebind_audio.convert_imagebind_audio
+        encode=imagebind_audio.encode_clips,  # NB: consumes mel clips, not raw wav
+    ),
+)
+
 DATA2VEC_BASE = _register(
     "acoustic_encoder",
     EncoderSpec(
