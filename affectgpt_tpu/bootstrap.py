@@ -56,10 +56,22 @@ def build_model(
             )
 
     rng = jax.random.PRNGKey(seed)
-    frozen = affectgpt.init_frozen(
-        rng, model_cfg, dtype=dtype,
-        with_encoders=with_encoders and not node.get("skip_encoders", False),
-    )
+    frozen = affectgpt.init_frozen(rng, model_cfg, dtype=dtype, with_encoders=False)
+    if with_encoders and not node.get("skip_encoders", False):
+        from affectgpt_tpu.models import encoders as _zoo
+
+        vis_spec = _zoo.get_visual_encoder(
+            node.get("visual_encoder", node.get("visual_encoder_name", "CLIP_VIT_LARGE"))
+        )
+        aud_spec = _zoo.get_acoustic_encoder(
+            node.get("acoustic_encoder", node.get("acoustic_encoder_name", "HUBERT_LARGE"))
+        )
+        frozen["visual_encoder"] = vis_spec.init_params(
+            jax.random.fold_in(rng, 1), vis_spec.make_config(), dtype
+        )
+        frozen["acoustic_encoder"] = aud_spec.init_params(
+            jax.random.fold_in(rng, 2), aud_spec.make_config(), dtype
+        )
 
     llm_name = node.get("llama_model_name", "Qwen25")
     llm_dir = paths.PATH_TO_LLM.get(llm_name, "")
@@ -68,17 +80,25 @@ def build_model(
         frozen["llm"] = jax.tree.map(
             lambda x: jnp.asarray(x, dtype=dtype), convert.convert_qwen2(llm_dir)
         )
+    # encoder weights via the registry zoo (visual_encoder/acoustic_encoder
+    # YAML keys carry the reference's names; reference affectgpt.py:141-148)
+    from affectgpt_tpu.models import encoders as encoder_zoo
+
+    vis_name = node.get("visual_encoder", node.get("visual_encoder_name", "CLIP_VIT_LARGE"))
+    aud_name = node.get("acoustic_encoder", node.get("acoustic_encoder_name", "HUBERT_LARGE"))
     if "visual_encoder" in frozen:
-        vis_dir = paths.PATH_TO_VISUAL.get(node.get("visual_encoder_name", "CLIP_VIT_LARGE"), "")
-        if vis_dir and os.path.isdir(vis_dir):
+        spec = encoder_zoo.get_visual_encoder(vis_name)
+        vis_dir = paths.PATH_TO_VISUAL.get(vis_name, "")
+        if spec.convert and vis_dir and os.path.isdir(vis_dir):
             frozen["visual_encoder"] = jax.tree.map(
-                lambda x: jnp.asarray(x, dtype=dtype), convert.convert_clip_vision(vis_dir)
+                lambda x: jnp.asarray(x, dtype=dtype), spec.convert(vis_dir)
             )
     if "acoustic_encoder" in frozen:
-        aud_dir = paths.PATH_TO_AUDIO.get(node.get("acoustic_encoder_name", "HUBERT_LARGE"), "")
-        if aud_dir and os.path.isdir(aud_dir):
+        spec = encoder_zoo.get_acoustic_encoder(aud_name)
+        aud_dir = paths.PATH_TO_AUDIO.get(aud_name, "")
+        if spec.convert and aud_dir and os.path.isdir(aud_dir):
             frozen["acoustic_encoder"] = jax.tree.map(
-                lambda x: jnp.asarray(x, dtype=dtype), convert.convert_hubert(aud_dir)
+                lambda x: jnp.asarray(x, dtype=dtype), spec.convert(aud_dir)
             )
 
     trainable = affectgpt.init_trainable(jax.random.PRNGKey(seed + 1), model_cfg)
