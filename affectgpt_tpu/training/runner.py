@@ -130,6 +130,25 @@ class Runner:
         ]
         self.loader = MultiIterLoader(loaders, ratios, seed=int(run.get("seed", 42)))
 
+        # optional validation (reference runner_base.py:385-446 evaluate +
+        # best-checkpoint): a held-out loader + compiled eval (loss-only) step
+        self.evaluate = bool(run.get("evaluate", False))
+        self.val_iters = int(run.get("val_iters", 20))
+        self._val_loader = None
+        if self.evaluate and datasets:
+            self._val_loader = IterLoader(
+                datasets[0], self.batch_size, seed=int(run.get("seed", 42)) + 999
+            )
+            cfg_model = model_cfg
+
+            def eval_loss(trainable, frozen, batch):
+                from affectgpt_tpu.models import affectgpt as _m
+
+                return _m.forward_loss(frozen, trainable, cfg_model, batch)
+
+            self._eval_fn = jax.jit(eval_loss)
+        self.best_val = float("inf")
+
         self.output_dir = cfg.output_dir if job_id is None else f"{cfg.output_dir}/{job_id}"
         self.json_log = JsonLinesLogger(self.output_dir)
         self.visualizer = TrainingVisualizer(self.output_dir)
@@ -212,6 +231,19 @@ class Runner:
                     stats = self.train_epoch(epoch)
             else:
                 stats = self.train_epoch(epoch)
+            if self._val_loader is not None:
+                val_losses = []
+                for _ in range(self.val_iters):
+                    batch = self._device_batch(next(self._val_loader))
+                    val_losses.append(float(self._eval_fn(self.state.trainable, self.frozen, batch)))
+                stats["val_loss"] = float(np.mean(val_losses))
+                if stats["val_loss"] < self.best_val:
+                    self.best_val = stats["val_loss"]
+                    checkpoint.save_checkpoint(
+                        self.output_dir + "/best", epoch + 1, self.state.trainable,
+                        loss=stats["val_loss"], config=self.cfg.to_dict(),
+                    )
+                    logger.info("new best val_loss %.4f at epoch %d", self.best_val, epoch)
             self.json_log.write({"epoch": epoch, **stats})
             self.visualizer.plot_and_save(epoch)
             checkpoint.save_checkpoint(

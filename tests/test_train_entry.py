@@ -91,6 +91,21 @@ class TestTrainEntry:
         epochs = sorted(int(p.name.split("_")[1]) for p in ckpts)
         assert epochs == [0, 1]
 
+    def test_validation_best_checkpoint(self, corpus, tmp_path, monkeypatch):
+        cfg_path = make_cfg(tmp_path, corpus)
+        monkeypatch.setattr(
+            sys, "argv",
+            ["train.py", "--cfg-path", cfg_path,
+             "--options", "run.evaluate=true", "run.val_iters=1"],
+        )
+        sys.path.insert(0, "/root/repo")
+        import train as train_entry
+
+        train_entry.main()
+        out_root = tmp_path / "output" / "tiny_exp"
+        best = list(out_root.glob("*/best/checkpoint_*"))
+        assert best, "expected a best-val checkpoint"
+
     def test_checkpoint_overlay_roundtrip(self, corpus, tmp_path):
         import jax
 
