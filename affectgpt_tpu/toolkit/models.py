@@ -387,6 +387,70 @@ class MISA:
         return feats, emos, vals, interloss
 
 
+# -- MFN: memory fusion network (reference toolkit/models/mfn.py) ----------------
+
+
+@registry.register_model("toolkit_mfn")
+class MFN:
+    """Three synced LSTMs + delta-memory attention + gated multi-view
+    memory (reference mfn.py). Frame-level inputs [b, t, d_m]."""
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 8)
+        d = args.hidden_dim
+        cat = 3 * d  # concat of the three LSTM cell states
+        mem = d
+        return {
+            "lstm_a": lstm_encoder_init(keys[0], args.audio_dim, d),
+            "lstm_t": lstm_encoder_init(keys[1], args.text_dim, d),
+            "lstm_v": lstm_encoder_init(keys[2], args.video_dim, d),
+            "att1": mlp_encoder_init(keys[3], 2 * cat, 2 * cat),
+            "att2": mlp_encoder_init(keys[4], 2 * cat, mem),
+            "gamma1": mlp_encoder_init(keys[5], 2 * cat + mem, mem),
+            "gamma2": mlp_encoder_init(keys[6], 2 * cat + mem, mem),
+            "heads": _heads_init(keys[7], 3 * d + mem, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        d = args.hidden_dim
+        a, t, v = batch["audios"], batch["texts"], batch["videos"]
+        b, steps = a.shape[0], a.shape[1]
+
+        def lstm_step(p, xt, h, c):
+            gates = nn.dense(p["wx"], xt) + nn.dense_nobias(p["wh"], h)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            return jax.nn.sigmoid(o) * jnp.tanh(c), c
+
+        def step(carry, xs):
+            (ha, ca), (ht, ct), (hv, cv), mem = carry
+            xa, xt, xv = xs
+            prev_cat = jnp.concatenate([ca, ct, cv], axis=-1)
+            ha, ca = lstm_step(params["lstm_a"], xa, ha, ca)
+            ht, ct = lstm_step(params["lstm_t"], xt, ht, ct)
+            hv, cv = lstm_step(params["lstm_v"], xv, hv, cv)
+            new_cat = jnp.concatenate([ca, ct, cv], axis=-1)
+            both = jnp.concatenate([prev_cat, new_cat], axis=-1)  # [b, 2·3d]
+            attention = jax.nn.softmax(mlp_encoder(params["att1"], both), axis=-1)
+            attended = both * attention
+            c_hat = jnp.tanh(mlp_encoder(params["att2"], attended))
+            gate_in = jnp.concatenate([both, mem], axis=-1)
+            g1 = jax.nn.sigmoid(mlp_encoder(params["gamma1"], gate_in))
+            g2 = jax.nn.sigmoid(mlp_encoder(params["gamma2"], gate_in))
+            mem = g1 * mem + g2 * c_hat
+            return ((ha, ca), (ht, ct), (hv, cv), mem), None
+
+        zeros = lambda: (jnp.zeros((b, d), a.dtype), jnp.zeros((b, d), a.dtype))
+        init = (zeros(), zeros(), zeros(), jnp.zeros((b, d), a.dtype))
+        xs = (jnp.swapaxes(a, 0, 1), jnp.swapaxes(t, 0, 1), jnp.swapaxes(v, 0, 1))
+        ((ha, _), (ht, _), (hv, _), mem), _ = jax.lax.scan(step, init, xs)
+        feats = jnp.concatenate([ha, ht, hv, mem], axis=-1)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
 FUSION_MODELS: Dict[str, type] = {
     "attention": AttentionFusion,
     "tfn": TFN,
@@ -395,4 +459,5 @@ FUSION_MODELS: Dict[str, type] = {
     "ef_lstm": EFLSTM,
     "mult": MULT,
     "misa": MISA,
+    "mfn": MFN,
 }

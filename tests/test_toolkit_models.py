@@ -27,7 +27,7 @@ def make_batch(b=4, frame=False, t=5):
     }
 
 
-@pytest.mark.parametrize("name", sorted(set(FUSION_MODELS) - {"ef_lstm"}))
+@pytest.mark.parametrize("name", sorted(set(FUSION_MODELS) - {"ef_lstm", "mfn"}))
 def test_fusion_contract(name):
     model = FUSION_MODELS[name]
     params = model.init(jax.random.PRNGKey(0), ARGS)
@@ -80,3 +80,12 @@ def test_fusion_trains():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_mfn_frame_input():
+    from affectgpt_tpu.toolkit.models import FUSION_MODELS
+    model = FUSION_MODELS["mfn"]
+    params = model.init(jax.random.PRNGKey(0), ARGS)
+    feats, emos, vals, _ = model.apply(params, ARGS, make_batch(frame=True))
+    assert emos.shape == (4, ARGS.output_dim1)
+    assert np.isfinite(np.asarray(feats)).all()
