@@ -26,31 +26,40 @@ from affectgpt_tpu.ops import image as image_ops
 
 def encode_media_features(
     frozen: dict,
-    cfg: affectgpt.AffectGPTConfig,
+    cfg: Optional[affectgpt.AffectGPTConfig],
     raw: Dict[str, jnp.ndarray],
     vision_cfg: Optional[clip_vit.ClipVisionConfig] = None,
     audio_cfg: Optional[hubert.HubertConfig] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Raw device media → per-modality [b, t, d] features using the frozen
-    encoders (the realtime path; reference encoder.py:197-208, 418-432).
-    raw: frame/face [b, T, H, W, 3] uint8, audio [b, clips, 1, samples]."""
+    encoders resolved from the registry zoo (the realtime path; reference
+    encoder.py forward wrappers). raw: frame/face [b, T, H, W, 3] uint8,
+    audio [b, clips, 1, samples] (mel clips for IMAGEBIND)."""
+    from affectgpt_tpu.models import encoders as zoo
+
+    vis_name = cfg.visual_encoder_name if cfg is not None else "CLIP_VIT_LARGE"
+    aud_name = cfg.acoustic_encoder_name if cfg is not None else "HUBERT_LARGE"
+    vis_spec = zoo.get_visual_encoder(vis_name)
+    aud_spec = zoo.get_acoustic_encoder(aud_name)
+    vcfg = vision_cfg or vis_spec.make_config()
+    acfg = audio_cfg or aud_spec.make_config()
+
     feats: Dict[str, jnp.ndarray] = {}
-    vision_cfg = vision_cfg or clip_vit.ClipVisionConfig.vit_l_14()
-    audio_cfg = audio_cfg or hubert.HubertConfig.large()
     for m in ("frame", "face"):
         if m in raw:
             frames = raw[m]
             b, t = frames.shape[:2]
             flat = frames.reshape(b * t, *frames.shape[2:])
+            out_size = getattr(vcfg, "image_size", 224)
             prepped = jax.vmap(
-                lambda f: image_ops.preprocess_frames_eval(f, out_size=vision_cfg.image_size)
+                lambda f: image_ops.preprocess_frames_eval(f, out_size=out_size)
             )(flat[:, None])[:, :, 0]
-            # [b·t, 3, H, W] → [b·t, H, W, 3]
+            # [b·t, 3, H, W] → [b·t, H, W, 3] → back to [b, t, H, W, 3]
             prepped = jnp.transpose(prepped, (0, 2, 3, 1))
-            emb = clip_vit.encode_image(frozen["visual_encoder"], vision_cfg, prepped)
-            feats[m] = emb.reshape(b, t, -1)
+            prepped = prepped.reshape(b, t, *prepped.shape[1:])
+            feats[m] = vis_spec.encode(frozen["visual_encoder"], vcfg, prepped)
     if "audio" in raw:
-        feats["audio"] = hubert.encode_clips(frozen["acoustic_encoder"], audio_cfg, raw["audio"])
+        feats["audio"] = aud_spec.encode(frozen["acoustic_encoder"], acfg, raw["audio"])
     return feats
 
 

@@ -58,6 +58,10 @@ class AffectGPTConfig:
     multi_max_time: int = 264
     # which modalities this config can feed (from face_or_frame mode)
     use_multi: bool = True
+    # registry names of the frozen media encoders (reference YAML keys
+    # visual_encoder / acoustic_encoder)
+    visual_encoder_name: str = "CLIP_VIT_LARGE"
+    acoustic_encoder_name: str = "HUBERT_LARGE"
 
     @classmethod
     def from_model_cfg(cls, node: dict) -> "AffectGPTConfig":
@@ -94,6 +98,12 @@ class AffectGPTConfig:
             num_au_query_token=int(node.get("num_au_query_token", 8)),
             visual_dim=int(node.get("preextracted_visual_dim", 768)),
             acoustic_dim=int(node.get("preextracted_acoustic_dim", 1024)),
+            visual_encoder_name=node.get(
+                "visual_encoder", node.get("visual_encoder_name", "CLIP_VIT_LARGE")
+            ),
+            acoustic_encoder_name=node.get(
+                "acoustic_encoder", node.get("acoustic_encoder_name", "HUBERT_LARGE")
+            ),
         )
 
     @classmethod
