@@ -1,0 +1,227 @@
+"""Continuous-batching serving engine.
+
+Production-serving capability beyond the reference (which generates
+strictly batch-1 through HF generate, conversation_video.py:303-388):
+a slot-based scheduler keeps a fixed-capacity KV cache resident in HBM,
+admits new requests into free slots as others finish, and advances ALL
+active slots one token per compiled decode step. Three compiled
+programs (prefill, decode-step, per-slot cache splice) are reused for
+the server's lifetime — no recompilation as traffic changes shape.
+
+Design:
+- Global cache [layers][max_slots, max_len, kv_heads, head_dim].
+- Per-slot state (host): position, remaining budget, done, output tokens.
+- Admission: prefill a padded batch of new prompts with the shared-column
+  fast path, then splice each row's cache into its slot.
+- Decode: per-row cache positions (qwen2 per-row dynamic update),
+  key-mask per slot, inactive slots masked out and fed pad tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affectgpt_tpu.inference import generate as gen
+from affectgpt_tpu.models import affectgpt, qwen2
+
+
+@dataclass
+class Request:
+    request_id: int
+    input_ids: np.ndarray  # [t] int32, patch ids zeroed
+    features: Dict[str, np.ndarray]  # {m: [tm, dm]}
+    offsets: Dict[str, int]
+    max_new_tokens: int = 64
+
+
+@dataclass
+class SlotState:
+    request_id: int = -1
+    position: int = 0  # next cache column to write
+    remaining: int = 0
+    done: bool = True
+    tokens: List[int] = field(default_factory=list)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _prefill(frozen, trainable, cfg, input_ids, features, offsets, lengths, max_len):
+    embeds = affectgpt.build_inputs_embeds(frozen, trainable, cfg, input_ids, features, offsets)
+    b, t_pad, _ = embeds.shape
+    embeds = jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(embeds, t_pad - lengths)
+    pad_len = t_pad - lengths
+    key_valid = jnp.arange(t_pad)[None, :] >= pad_len[:, None]
+    positions = jnp.maximum(jnp.arange(t_pad)[None, :] - pad_len[:, None], 0)
+    cache = qwen2.init_cache(cfg.llm, b, max_len, dtype=embeds.dtype)
+    causal = jnp.arange(max_len)[None, None, :] <= jnp.arange(t_pad)[None, :, None]
+    key_valid_full = jnp.pad(key_valid, ((0, 0), (0, max_len - t_pad)))
+    mask = causal & key_valid_full[:, None, :]
+    logits, cache = qwen2.forward(
+        frozen["llm"], cfg.llm, embeds, mask, lora=trainable["lora"],
+        positions=positions, cache=cache, cache_index=jnp.int32(0),
+    )
+    # left-packed rows end at the last column: shift each row's cache left so
+    # token 0 sits at column 0 (slot-local canonical layout)
+    def unshift(buf, s):
+        return jnp.roll(buf, -s, axis=0)
+
+    cache = [
+        {"k": jax.vmap(unshift)(layer["k"], pad_len), "v": jax.vmap(unshift)(layer["v"], pad_len)}
+        for layer in cache
+    ]
+    return logits[:, -1, :], cache
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def _splice_cache(cache, new_cache, slot_ids):
+    """Write each new row's cache into its slot of the global cache."""
+    return [
+        {
+            "k": layer["k"].at[slot_ids].set(new_layer["k"].astype(layer["k"].dtype)),
+            "v": layer["v"].at[slot_ids].set(new_layer["v"].astype(layer["v"].dtype)),
+        }
+        for layer, new_layer in zip(cache, new_cache)
+    ]
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def _decode_step(frozen, trainable, cfg, cache, tokens, positions, active, rng, do_sample, top_p, temperature):
+    """One token for every slot. tokens [S], positions [S] (next cache
+    column per slot), active [S] bool."""
+    max_len = cache[0]["k"].shape[1]
+    embeds = qwen2.embed_tokens(frozen["llm"], tokens)[:, None, :].astype(cache[0]["k"].dtype)
+    key_mask = (jnp.arange(max_len)[None, None, :] <= positions[:, None, None]) & active[:, None, None]
+    logits, cache = qwen2.forward(
+        frozen["llm"], cfg.llm, embeds, key_mask, lora=trainable["lora"],
+        positions=positions[:, None], cache=cache, cache_index=positions,
+    )
+    logits = logits[:, 0, :]
+    sampled = jnp.where(
+        do_sample,
+        gen.top_p_sample(rng, logits, top_p, temperature),
+        jnp.argmax(logits, axis=-1),
+    ).astype(jnp.int32)
+    return sampled, cache
+
+
+class BatchServer:
+    """Synchronous continuous-batching server over the compiled decode."""
+
+    def __init__(self, frozen, trainable, cfg: affectgpt.AffectGPTConfig, tokenizer,
+                 max_slots: int = 8, max_len: int = 512,
+                 do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
+                 seed: int = 0):
+        self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
+        self.tokenizer = tokenizer
+        self.max_slots, self.max_len = max_slots, max_len
+        self.do_sample, self.top_p, self.temperature = do_sample, top_p, temperature
+        self.rng = jax.random.PRNGKey(seed)
+        dtype = jnp.result_type(jax.tree.leaves(frozen["llm"])[0].dtype)
+        self.cache = qwen2.init_cache(cfg.llm, max_slots, max_len, dtype=dtype)
+        self.slots = [SlotState() for _ in range(max_slots)]
+        self.next_tokens = np.zeros(max_slots, np.int32)
+        self.pending: List[Request] = []
+        self.results: Dict[int, List[int]] = {}
+        self._stops = {tokenizer.eos_token_id}
+
+    # -- API -----------------------------------------------------------------
+    def submit(self, request: Request) -> None:
+        self.pending.append(request)
+
+    def run_until_drained(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return self.results
+
+    # -- scheduling ------------------------------------------------------------
+    def _free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self.slots) if s.done]
+
+    def _admit(self) -> None:
+        free = self._free_slots()
+        if not free or not self.pending:
+            return
+        batch = self.pending[: len(free)]
+        del self.pending[: len(batch)]
+        slots = free[: len(batch)]
+
+        t_pad = max(len(r.input_ids) for r in batch)
+        ids = np.zeros((len(batch), t_pad), np.int32)
+        lengths = np.zeros(len(batch), np.int32)
+        offsets: Dict[str, np.ndarray] = {}
+        features: Dict[str, np.ndarray] = {}
+        modalities = sorted({m for r in batch for m in r.features})
+        for m in modalities:
+            features[m] = np.stack([r.features[m] for r in batch])
+            offsets[m] = np.array([r.offsets.get(m, -1) for r in batch], np.int32)
+        for i, req in enumerate(batch):
+            ids[i, : len(req.input_ids)] = req.input_ids
+            lengths[i] = len(req.input_ids)
+
+        last_logits, new_cache = _prefill(
+            self.frozen, self.trainable, self.cfg, jnp.asarray(ids),
+            {m: jnp.asarray(v) for m, v in features.items()},
+            {m: jnp.asarray(v) for m, v in offsets.items()},
+            jnp.asarray(lengths), self.max_len,
+        )
+        self.cache = _splice_cache(self.cache, new_cache, jnp.asarray(slots))
+
+        # first token per admitted request comes from the prefill logits
+        self.rng, key = jax.random.split(self.rng)
+        if self.do_sample:
+            first = gen.top_p_sample(key, last_logits, self.top_p, self.temperature)
+        else:
+            first = jnp.argmax(last_logits, axis=-1)
+        first = np.asarray(first, np.int32)
+        for i, (slot, req) in enumerate(zip(slots, batch)):
+            state = self.slots[slot]
+            state.request_id = req.request_id
+            state.position = int(lengths[i])
+            state.remaining = req.max_new_tokens - 1
+            state.done = False
+            state.tokens = [int(first[i])]
+            self.next_tokens[slot] = first[i]
+            if int(first[i]) in self._stops or state.remaining <= 0:
+                self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        state = self.slots[slot]
+        tokens = state.tokens
+        if tokens and tokens[-1] in self._stops:
+            tokens = tokens[:-1]
+        self.results[state.request_id] = tokens
+        state.done = True
+
+    def step(self) -> bool:
+        """Admit + advance one decode step. Returns False when idle."""
+        self._admit()
+        active = np.array([not s.done for s in self.slots])
+        if not active.any():
+            return bool(self.pending)
+
+        self.rng, key = jax.random.split(self.rng)
+        positions = np.array([s.position for s in self.slots], np.int32)
+        sampled, self.cache = _decode_step(
+            self.frozen, self.trainable, self.cfg, self.cache,
+            jnp.asarray(self.next_tokens), jnp.asarray(positions),
+            jnp.asarray(active), key,
+            self.do_sample, self.top_p, self.temperature,
+        )
+        sampled = np.asarray(sampled)
+        for i, state in enumerate(self.slots):
+            if state.done:
+                continue
+            token = int(sampled[i])
+            state.tokens.append(token)
+            state.position += 1
+            state.remaining -= 1
+            self.next_tokens[i] = token
+            if token in self._stops or state.remaining <= 0 or state.position >= self.max_len - 1:
+                self._finish(i)
+        return True

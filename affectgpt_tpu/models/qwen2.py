@@ -211,9 +211,18 @@ def _attention(
 
     new_cache = None
     if cache is not None:
-        # decode: write new k/v at cache_index, attend over the whole cache
-        k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=1)
-        v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=1)
+        # decode: write new k/v at cache_index, attend over the whole cache.
+        # cache_index is a scalar (shared column — the generate() fast path)
+        # or a per-row [b] array (continuous-batching server).
+        if getattr(cache_index, "ndim", 0) == 1:
+            def write_row(buf, new, idx):
+                return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=0)
+
+            k_cache = jax.vmap(write_row)(cache["k"], k, cache_index)
+            v_cache = jax.vmap(write_row)(cache["v"], v, cache_index)
+        else:
+            k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=1)
         new_cache = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
