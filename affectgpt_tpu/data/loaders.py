@@ -73,6 +73,56 @@ class MultiIterLoader:
         return self
 
 
+class ConcatDataset:
+    """Concatenate datasets sharing a collator (reference
+    data_utils.concat_datasets / datasets.ConcatDataset role)."""
+
+    def __init__(self, datasets: Sequence):
+        assert datasets
+        self.datasets = list(datasets)
+        self._offsets = []
+        total = 0
+        for ds in self.datasets:
+            self._offsets.append(total)
+            total += len(ds)
+        self._total = total
+
+    def __len__(self) -> int:
+        return self._total
+
+    def __getitem__(self, index: int):
+        for ds, off in zip(reversed(self.datasets), reversed(self._offsets)):
+            if index >= off:
+                return ds[index - off]
+        raise IndexError(index)
+
+    def collate(self, instances):
+        return self.datasets[0].collate(instances)
+
+
+def reorg_datasets_by_split(datasets_by_name: dict) -> dict:
+    """{name: {split: dataset}} → {split: [datasets]} (reference
+    data_utils.reorg_datasets_by_split)."""
+    by_split: dict = {}
+    for _, splits in datasets_by_name.items():
+        if not isinstance(splits, dict):
+            splits = {"train": splits}
+        for split, dataset in splits.items():
+            by_split.setdefault(split, []).append(dataset)
+    return by_split
+
+
+def prepare_sample(batch, device=None):
+    """Move a host batch's array leaves to device (reference
+    data_utils.prepare_sample / move_to_cuda recursion)."""
+    def put(x):
+        if isinstance(x, np.ndarray):
+            return jax.device_put(x, device) if device is not None else jax.device_put(x)
+        return x
+
+    return jax.tree.map(put, batch)
+
+
 class DevicePrefetcher:
     """Background thread that collates + uploads the next batches while the
     device computes (the PrefetchLoader role, dataloader_utils.py:78-153)."""

@@ -25,6 +25,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compilation cache: repeat bench runs skip the (remote) compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
 
 BATCH = 256
