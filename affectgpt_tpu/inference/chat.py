@@ -45,7 +45,7 @@ def encode_media_features(
     acfg = audio_cfg or aud_spec.make_config()
 
     feats: Dict[str, jnp.ndarray] = {}
-    for m in ("frame", "face"):
+    for m in ("frame", "face", "image"):
         if m in raw:
             frames = raw[m]
             b, t = frames.shape[:2]
