@@ -387,6 +387,51 @@ class MISA:
         return feats, emos, vals, interloss
 
 
+# -- MMIM: MultiModal InfoMax (reference toolkit/models/mmim.py) ------------------
+
+
+@registry.register_model("toolkit_mmim")
+class MMIM:
+    """Hierarchical mutual-information maximization: fusion MLP plus
+    CPC-style InfoNCE between the fused representation and each unimodal
+    stream (the core objective of reference mmim.py; the lld/club
+    estimators are folded into the bilinear InfoNCE critics)."""
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 6)
+        d = args.hidden_dim
+        return {
+            "encoders": _encoders_init(keys[0], args),
+            "fusion": mlp_encoder_init(keys[1], d * 3, d),
+            "critic_a": nn.dense_nobias_init(keys[2], d, d),
+            "critic_t": nn.dense_nobias_init(keys[3], d, d),
+            "critic_v": nn.dense_nobias_init(keys[4], d, d),
+            "heads": _heads_init(keys[5], d, args),
+        }
+
+    @staticmethod
+    def _infonce(critic, fused, modality):
+        # scores[i, j] = fused_i · W · modality_j ; positives on the diagonal
+        proj = nn.dense_nobias(critic, fused)  # [b, d]
+        scores = jnp.einsum("id,jd->ij", proj, modality)
+        labels = jnp.arange(scores.shape[0])
+        logprobs = jax.nn.log_softmax(scores, axis=-1)
+        return -jnp.mean(jnp.take_along_axis(logprobs, labels[:, None], axis=1))
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        feats = mlp_encoder(params["fusion"], jnp.concatenate([a, t, v], axis=1))
+        nce = (
+            MMIM._infonce(params["critic_a"], feats, a)
+            + MMIM._infonce(params["critic_t"], feats, t)
+            + MMIM._infonce(params["critic_v"], feats, v)
+        )
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, 0.1 * nce
+
+
 # -- MFN: memory fusion network (reference toolkit/models/mfn.py) ----------------
 
 
@@ -460,4 +505,5 @@ FUSION_MODELS: Dict[str, type] = {
     "mult": MULT,
     "misa": MISA,
     "mfn": MFN,
+    "mmim": MMIM,
 }
