@@ -178,9 +178,18 @@ class Runner:
         sharding = mesh_lib.batch_sharding(self.mesh)
         for key in ("input_ids", "attention_mask", "labels"):
             sharded[key] = jax.device_put(batch[key], sharding)
-        sharded["features"] = {
+        features = {
             m: jax.device_put(v, sharding) for m, v in batch["features"].items()
         }
+        raw = batch.get("raw") or {}
+        if raw and ("visual_encoder" in self.frozen or "acoustic_encoder" in self.frozen):
+            # realtime mode: frozen encoders run on device inside the input
+            # path (the reference's non-preextracted branch)
+            from affectgpt_tpu.inference.chat import encode_media_features
+
+            raw_dev = {m: jax.device_put(v, sharding) for m, v in raw.items()}
+            features.update(encode_media_features(self.frozen, self.model_cfg, raw_dev))
+        sharded["features"] = features
         sharded["offsets"] = {
             m: jax.device_put(v, sharding) for m, v in batch["offsets"].items()
         }

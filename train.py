@@ -52,7 +52,9 @@ def main() -> None:
     setup_seeds(int(cfg.run.get("seed", 42)))
     job_id = datetime.datetime.now().strftime("%Y%m%d%H%M")
 
-    model_cfg, frozen, trainable, tokenizer = build_model(cfg)
+    model_cfg, frozen, trainable, tokenizer = build_model(
+        cfg, with_encoders=not cfg.model.get("skip_encoders", False)
+    )
     datasets, ratios = build_datasets(cfg, tokenizer, model_cfg)
     runner = Runner(
         cfg, tokenizer, frozen, trainable, model_cfg, datasets, ratios, job_id=job_id
