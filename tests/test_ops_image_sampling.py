@@ -100,3 +100,28 @@ class TestImageOps:
         np.testing.assert_array_equal(out1, out2)  # seeded → reproducible
         out3 = np.asarray(image_ops.preprocess_frames_train(jax.random.PRNGKey(7), frames))
         assert not np.array_equal(out1, out3)  # different seed → different crop
+
+
+class TestRandAugment:
+    def test_static_shape_and_range(self):
+        from affectgpt_tpu.ops.augment import rand_augment
+
+        frames = np.random.RandomState(0).randint(0, 255, (4, 32, 32, 3)).astype(np.float32)
+        out = np.asarray(rand_augment(jax.random.PRNGKey(0), frames))
+        assert out.shape == frames.shape
+        assert out.min() >= 0.0 and out.max() <= 255.0
+        # seeded determinism + seed sensitivity
+        out2 = np.asarray(rand_augment(jax.random.PRNGKey(0), frames))
+        np.testing.assert_array_equal(out, out2)
+        out3 = np.asarray(rand_augment(jax.random.PRNGKey(5), frames))
+        assert not np.array_equal(out, out3)
+
+    def test_temporal_consistency(self):
+        from affectgpt_tpu.ops.augment import rand_augment
+
+        # identical frames stay identical after augmentation (same op per clip)
+        one = np.random.RandomState(1).randint(0, 255, (1, 16, 16, 3)).astype(np.float32)
+        frames = np.repeat(one, 4, axis=0)
+        out = np.asarray(rand_augment(jax.random.PRNGKey(3), frames))
+        for t in range(1, 4):
+            np.testing.assert_allclose(out[0], out[t], atol=1e-4)
