@@ -496,6 +496,183 @@ class MFN:
         return feats, emos, vals, jnp.zeros(())
 
 
+# -- Graph-MFN: MFN with a Dynamic Fusion Graph (reference graph_mfn.py) ----------
+
+
+def _dfg_init(rng, d, dtype=jnp.float32):
+    """Dynamic Fusion Graph over modality subsets {a,t,v,av,at,tv,atv}."""
+    keys = jax.random.split(rng, 5)
+    return {
+        "pair_av": mlp_encoder_init(keys[0], 2 * d, d),
+        "pair_at": mlp_encoder_init(keys[1], 2 * d, d),
+        "pair_tv": mlp_encoder_init(keys[2], 2 * d, d),
+        "triple": mlp_encoder_init(keys[3], 3 * d, d),
+        "efficacies": nn.dense_init(keys[4], 3 * d, 7),
+    }
+
+
+def _dfg_apply(params, a, t, v):
+    """Returns the graph output: efficacy-weighted sum of vertex embeddings."""
+    gates = jax.nn.sigmoid(
+        nn.dense(params["efficacies"], jnp.concatenate([a, t, v], axis=-1))
+    )  # [b, 7]
+    av = mlp_encoder(params["pair_av"], jnp.concatenate([a, v], axis=-1))
+    at = mlp_encoder(params["pair_at"], jnp.concatenate([a, t], axis=-1))
+    tv = mlp_encoder(params["pair_tv"], jnp.concatenate([t, v], axis=-1))
+    atv = mlp_encoder(params["triple"], jnp.concatenate([a, t, v], axis=-1))
+    vertices = jnp.stack([a, t, v, av, at, tv, atv], axis=1)  # [b, 7, d]
+    return jnp.einsum("bkd,bk->bd", vertices, gates)
+
+
+@registry.register_model("toolkit_graph_mfn")
+class GraphMFN:
+    """MFN whose memory update is driven by a Dynamic Fusion Graph over the
+    three cell states (reference toolkit/models/graph_mfn.py lineage)."""
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 8)
+        d = args.hidden_dim
+        return {
+            "lstm_a": lstm_encoder_init(keys[0], args.audio_dim, d),
+            "lstm_t": lstm_encoder_init(keys[1], args.text_dim, d),
+            "lstm_v": lstm_encoder_init(keys[2], args.video_dim, d),
+            "dfg": _dfg_init(keys[3], d),
+            "gamma1": mlp_encoder_init(keys[4], 4 * d, d),
+            "gamma2": mlp_encoder_init(keys[5], 4 * d, d),
+            "heads": _heads_init(keys[6], 4 * d, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        d = args.hidden_dim
+        a, t, v = batch["audios"], batch["texts"], batch["videos"]
+        b = a.shape[0]
+
+        def lstm_step(p, xt, h, c):
+            gates = nn.dense(p["wx"], xt) + nn.dense_nobias(p["wh"], h)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            return jax.nn.sigmoid(o) * jnp.tanh(c), c
+
+        def step(carry, xs):
+            (ha, ca), (ht, ct), (hv, cv), mem = carry
+            xa, xt, xv = xs
+            ha, ca = lstm_step(params["lstm_a"], xa, ha, ca)
+            ht, ct = lstm_step(params["lstm_t"], xt, ht, ct)
+            hv, cv = lstm_step(params["lstm_v"], xv, hv, cv)
+            graph_out = _dfg_apply(params["dfg"], ca, ct, cv)  # [b, d]
+            gate_in = jnp.concatenate([ca, ct, cv, mem], axis=-1)
+            g1 = jax.nn.sigmoid(mlp_encoder(params["gamma1"], gate_in))
+            g2 = jax.nn.sigmoid(mlp_encoder(params["gamma2"], gate_in))
+            mem = g1 * mem + g2 * jnp.tanh(graph_out)
+            return ((ha, ca), (ht, ct), (hv, cv), mem), None
+
+        zeros = lambda: (jnp.zeros((b, d), a.dtype), jnp.zeros((b, d), a.dtype))
+        init = (zeros(), zeros(), zeros(), jnp.zeros((b, d), a.dtype))
+        xs = (jnp.swapaxes(a, 0, 1), jnp.swapaxes(t, 0, 1), jnp.swapaxes(v, 0, 1))
+        ((ha, _), (ht, _), (hv, _), mem), _ = jax.lax.scan(step, init, xs)
+        feats = jnp.concatenate([ha, ht, hv, mem], axis=-1)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
+# -- MCTN: cyclic-translation fusion (reference toolkit/models/mctn.py) -----------
+
+
+@registry.register_model("toolkit_mctn")
+class MCTN:
+    """Translation-based fusion: encode text, translate to audio and video
+    (and cyclically back), use the translation encoder state as the joint
+    representation; translation + cycle MSEs are the auxiliary losses
+    (the core objective of reference mctn.py; seq2seq decoder reduced to
+    per-modality regression heads)."""
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 7)
+        d = args.hidden_dim
+        return {
+            "enc_text": lstm_encoder_init(keys[0], args.text_dim, d),
+            "to_audio": mlp_encoder_init(keys[1], d, d),
+            "audio_out": nn.dense_init(keys[2], d, args.audio_dim),
+            "to_video": mlp_encoder_init(keys[3], d, d),
+            "video_out": nn.dense_init(keys[4], d, args.video_dim),
+            "cycle_text": nn.dense_init(keys[5], d, args.text_dim),
+            "heads": _heads_init(keys[6], d, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        t_seq = batch["texts"]
+        rep = lstm_encoder(params["enc_text"], t_seq)  # [b, d]
+        audio_target = jnp.mean(batch["audios"], axis=1)
+        video_target = jnp.mean(batch["videos"], axis=1)
+        text_target = jnp.mean(t_seq, axis=1)
+
+        ha = mlp_encoder(params["to_audio"], rep)
+        hv = mlp_encoder(params["to_video"], rep)
+        audio_hat = nn.dense(params["audio_out"], ha)
+        video_hat = nn.dense(params["video_out"], hv)
+        text_cycle = nn.dense(params["cycle_text"], ha)  # audio-space → text
+
+        interloss = (
+            jnp.mean((audio_hat - audio_target) ** 2)
+            + jnp.mean((video_hat - video_target) ** 2)
+            + jnp.mean((text_cycle - text_target) ** 2)
+        )
+        emos, vals = _heads(params["heads"], rep)
+        return rep, emos, vals, interloss
+
+
+# -- MFM: factorized generative-discriminative fusion (reference mfm.py) ----------
+
+
+@registry.register_model("toolkit_mfm")
+class MFM:
+    """Multimodal Factorization Model: a shared discriminative factor plus
+    modality-specific generative factors with reconstruction losses (the
+    core factorization objective of reference mfm.py)."""
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        keys = jax.random.split(rng, 9)
+        d = args.hidden_dim
+        return {
+            "encoders": _encoders_init(keys[0], args),
+            "shared": mlp_encoder_init(keys[1], 3 * d, d),
+            "factor_a": mlp_encoder_init(keys[2], d, d),
+            "factor_t": mlp_encoder_init(keys[3], d, d),
+            "factor_v": mlp_encoder_init(keys[4], d, d),
+            "recon_a": nn.dense_init(keys[5], 2 * d, args.audio_dim),
+            "recon_t": nn.dense_init(keys[6], 2 * d, args.text_dim),
+            "recon_v": nn.dense_init(keys[7], 2 * d, args.video_dim),
+            "heads": _heads_init(keys[8], d, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        a, t, v = _encode_all(params["encoders"], args, batch)
+        shared = mlp_encoder(params["shared"], jnp.concatenate([a, t, v], axis=-1))
+        fa = mlp_encoder(params["factor_a"], a)
+        ft = mlp_encoder(params["factor_t"], t)
+        fv = mlp_encoder(params["factor_v"], v)
+
+        def target(x):
+            return jnp.mean(x, axis=1) if x.ndim == 3 else x
+
+        recon = (
+            jnp.mean((nn.dense(params["recon_a"], jnp.concatenate([shared, fa], -1))
+                      - target(batch["audios"])) ** 2)
+            + jnp.mean((nn.dense(params["recon_t"], jnp.concatenate([shared, ft], -1))
+                        - target(batch["texts"])) ** 2)
+            + jnp.mean((nn.dense(params["recon_v"], jnp.concatenate([shared, fv], -1))
+                        - target(batch["videos"])) ** 2)
+        )
+        emos, vals = _heads(params["heads"], shared)
+        return shared, emos, vals, recon
+
+
 FUSION_MODELS: Dict[str, type] = {
     "attention": AttentionFusion,
     "tfn": TFN,
@@ -506,4 +683,7 @@ FUSION_MODELS: Dict[str, type] = {
     "misa": MISA,
     "mfn": MFN,
     "mmim": MMIM,
+    "graph_mfn": GraphMFN,
+    "mctn": MCTN,
+    "mfm": MFM,
 }

@@ -27,7 +27,7 @@ def make_batch(b=4, frame=False, t=5):
     }
 
 
-@pytest.mark.parametrize("name", sorted(set(FUSION_MODELS) - {"ef_lstm", "mfn"}))
+@pytest.mark.parametrize("name", sorted(set(FUSION_MODELS) - {"ef_lstm", "mfn", "graph_mfn", "mctn"}))
 def test_fusion_contract(name):
     model = FUSION_MODELS[name]
     params = model.init(jax.random.PRNGKey(0), ARGS)
@@ -88,4 +88,15 @@ def test_mfn_frame_input():
     params = model.init(jax.random.PRNGKey(0), ARGS)
     feats, emos, vals, _ = model.apply(params, ARGS, make_batch(frame=True))
     assert emos.shape == (4, ARGS.output_dim1)
+    assert np.isfinite(np.asarray(feats)).all()
+
+
+@pytest.mark.parametrize("name", ["graph_mfn", "mctn"])
+def test_sequence_fusion_models(name):
+    from affectgpt_tpu.toolkit.models import FUSION_MODELS
+    model = FUSION_MODELS[name]
+    params = model.init(jax.random.PRNGKey(0), ARGS)
+    feats, emos, vals, inter = model.apply(params, ARGS, make_batch(frame=True))
+    assert emos.shape == (4, ARGS.output_dim1)
+    assert float(inter) >= 0
     assert np.isfinite(np.asarray(feats)).all()
