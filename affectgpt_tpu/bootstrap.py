@@ -57,6 +57,7 @@ def build_model(
 
     rng = jax.random.PRNGKey(seed)
     frozen = affectgpt.init_frozen(rng, model_cfg, dtype=dtype, with_encoders=False)
+    tiny_mode = isinstance(tokenizer, ByteTokenizer) and not node.get("keep_full_llm", False)
     if with_encoders and not node.get("skip_encoders", False):
         from affectgpt_tpu.models import encoders as _zoo
 
@@ -66,12 +67,33 @@ def build_model(
         aud_spec = _zoo.get_acoustic_encoder(
             node.get("acoustic_encoder", node.get("acoustic_encoder_name", "HUBERT_LARGE"))
         )
-        frozen["visual_encoder"] = vis_spec.init_params(
-            jax.random.fold_in(rng, 1), vis_spec.make_config(), dtype
-        )
-        frozen["acoustic_encoder"] = aud_spec.init_params(
-            jax.random.fold_in(rng, 2), aud_spec.make_config(), dtype
-        )
+        if tiny_mode:
+            # random-weight smoke mode: shrink the encoder towers while
+            # keeping their output dims consistent with the merger configs
+            from dataclasses import replace as _replace
+
+            from affectgpt_tpu.models import clip_vit as _cv
+            from affectgpt_tpu.models import hubert as _hb
+
+            vis_cfg = _replace(_cv.ClipVisionConfig.tiny(), projection_dim=model_cfg.visual_dim)
+            aud_cfg = _replace(_hb.HubertConfig.tiny(), hidden_size=model_cfg.acoustic_dim)
+            frozen["visual_encoder"] = _cv.init_vision_params(
+                jax.random.fold_in(rng, 1), vis_cfg, dtype
+            )
+            frozen["acoustic_encoder"] = _hb.init_params(
+                jax.random.fold_in(rng, 2), aud_cfg, dtype
+            )
+            model_cfg = affectgpt.AffectGPTConfig(
+                **{**model_cfg.__dict__, "vision_cfg_override": vis_cfg,
+                   "audio_cfg_override": aud_cfg}
+            )
+        else:
+            frozen["visual_encoder"] = vis_spec.init_params(
+                jax.random.fold_in(rng, 1), vis_spec.make_config(), dtype
+            )
+            frozen["acoustic_encoder"] = aud_spec.init_params(
+                jax.random.fold_in(rng, 2), aud_spec.make_config(), dtype
+            )
 
     llm_name = node.get("llama_model_name", "Qwen25")
     llm_dir = paths.PATH_TO_LLM.get(llm_name, "")

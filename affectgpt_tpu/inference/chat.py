@@ -41,8 +41,8 @@ def encode_media_features(
     aud_name = cfg.acoustic_encoder_name if cfg is not None else "HUBERT_LARGE"
     vis_spec = zoo.get_visual_encoder(vis_name)
     aud_spec = zoo.get_acoustic_encoder(aud_name)
-    vcfg = vision_cfg or vis_spec.make_config()
-    acfg = audio_cfg or aud_spec.make_config()
+    vcfg = vision_cfg or getattr(cfg, "vision_cfg_override", None) or vis_spec.make_config()
+    acfg = audio_cfg or getattr(cfg, "audio_cfg_override", None) or aud_spec.make_config()
 
     feats: Dict[str, jnp.ndarray] = {}
     for m in ("frame", "face", "image"):

@@ -62,6 +62,10 @@ class AffectGPTConfig:
     # visual_encoder / acoustic_encoder)
     visual_encoder_name: str = "CLIP_VIT_LARGE"
     acoustic_encoder_name: str = "HUBERT_LARGE"
+    # geometry overrides for the encoder towers (tiny smoke mode); None =
+    # the registry spec's production geometry
+    vision_cfg_override: Optional[clip_vit.ClipVisionConfig] = None
+    audio_cfg_override: Optional[hubert.HubertConfig] = None
 
     @classmethod
     def from_model_cfg(cls, node: dict) -> "AffectGPTConfig":

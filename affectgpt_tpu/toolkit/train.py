@@ -33,24 +33,41 @@ class FeatureTable:
     vals: Optional[np.ndarray] = None  # float valence
 
 
+def _load_feature_map(feature_root: str, source: str) -> Dict[str, np.ndarray]:
+    """A feature source is either a directory of {name}.npy files or a
+    single name-keyed .npz pack (both MERBench distribution formats,
+    reference toolkit/dataloader/*)."""
+    path = os.path.join(feature_root, source)
+    if os.path.isdir(path):
+        return {
+            os.path.splitext(f)[0]: np.load(os.path.join(path, f))
+            for f in os.listdir(path) if f.endswith(".npy")
+        }
+    if path.endswith(".npz") and os.path.exists(path):
+        pack = np.load(path, allow_pickle=True)
+        if "feature" in pack and "name" in pack:  # paired-array pack
+            return dict(zip(pack["name"].tolist(), pack["feature"]))
+        return {key: pack[key] for key in pack.files}
+    raise FileNotFoundError(path)
+
+
 def load_feature_table(
     feature_root: str, audio_dir: str, text_dir: str, video_dir: str,
     name2emo: Optional[Dict[str, int]] = None, name2val: Optional[Dict[str, float]] = None,
 ) -> FeatureTable:
-    names = sorted(
-        os.path.splitext(f)[0]
-        for f in os.listdir(os.path.join(feature_root, audio_dir))
-        if f.endswith(".npy")
-    )
+    maps = [
+        _load_feature_map(feature_root, src) for src in (audio_dir, text_dir, video_dir)
+    ]
+    names = sorted(set(maps[0]) & set(maps[1]) & set(maps[2]))
 
-    def stack(subdir):
-        feats = [np.load(os.path.join(feature_root, subdir, f"{n}.npy")) for n in names]
+    def stack(feature_map):
+        feats = [np.asarray(feature_map[n]) for n in names]
         feats = [f.mean(0) if f.ndim > 1 else f for f in feats]  # utterance-level
         return np.stack(feats).astype(np.float32)
 
     return FeatureTable(
         names=names,
-        audios=stack(audio_dir), texts=stack(text_dir), videos=stack(video_dir),
+        audios=stack(maps[0]), texts=stack(maps[1]), videos=stack(maps[2]),
         emos=np.array([name2emo[n] for n in names]) if name2emo else None,
         vals=np.array([name2val[n] for n in names], np.float32) if name2val else None,
     )

@@ -33,6 +33,7 @@ def parse_args():
     parser.add_argument("--video_path", default=None)
     parser.add_argument("--audio_path", default=None)
     parser.add_argument("--subtitle", default=None)
+    parser.add_argument("--max_new_tokens", type=int, default=300)
     return parser.parse_args()
 
 
@@ -68,7 +69,7 @@ def main() -> None:
     features = encode_media_features(frozen, model_cfg, raw) if raw else {}
     outputs = chat.answer_batch(
         face_or_frame, [args.subtitle], user_message, features,
-        rng=jax.random.PRNGKey(0),
+        rng=jax.random.PRNGKey(0), max_new_tokens=args.max_new_tokens,
     )
     print(outputs[0])
 
