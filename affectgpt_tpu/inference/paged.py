@@ -1,0 +1,210 @@
+"""Paged KV cache: block-pool storage with per-sequence block tables.
+
+North-star serving requirement (BASELINE.json: "decoder with paged KV
+cache"): instead of one dense [slots, max_len] cache (inference/server),
+K/V live in a shared pool of fixed-size blocks; each sequence holds an
+int32 block table. HBM is sized by *tokens in flight*, not
+slots × max_len, so many long-tailed generations fit one chip.
+
+Device side:
+- `paged_attention`: queries [b, 1, h, d] attend over gathered pages —
+  one gather per layer ([b, blocks_per_seq, block, kv, d]) followed by a
+  masked GQA einsum. Block gathers and the attention contraction both
+  map onto TPU-friendly dense ops; a Pallas double-buffered gather is
+  the planned upgrade (ROADMAP).
+- `paged_write`: scatter one token's K/V into (block, offset) slots.
+
+Host side:
+- `BlockAllocator`: free-list allocate/free of pool blocks per sequence.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affectgpt_tpu.models import qwen2
+
+
+@dataclass(frozen=True)
+class PagedConfig:
+    block_size: int = 16
+    num_blocks: int = 256  # pool blocks per layer
+    max_blocks_per_seq: int = 16
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.block_size * self.max_blocks_per_seq
+
+
+def init_paged_cache(llm_cfg: qwen2.QwenConfig, pcfg: PagedConfig, dtype=jnp.bfloat16):
+    """Per-layer block pools: [num_blocks, block_size, kv_heads, head_dim]."""
+    shape = (pcfg.num_blocks, pcfg.block_size, llm_cfg.num_kv_heads, llm_cfg.head_dim)
+    return [
+        {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+        for _ in range(llm_cfg.num_layers)
+    ]
+
+
+class BlockAllocator:
+    def __init__(self, pcfg: PagedConfig):
+        self.pcfg = pcfg
+        self.free: List[int] = list(range(pcfg.num_blocks - 1, 0, -1))
+        # block 0 is reserved as the null page (block tables pad with 0)
+
+    def allocate(self, n_tokens: int) -> List[int]:
+        n_blocks = -(-n_tokens // self.pcfg.block_size)
+        if n_blocks > len(self.free):
+            raise RuntimeError("paged KV pool exhausted")
+        return [self.free.pop() for _ in range(n_blocks)]
+
+    def extend(self, table: List[int], old_len: int, new_len: int) -> List[int]:
+        need = -(-new_len // self.pcfg.block_size) - len(table)
+        for _ in range(need):
+            if not self.free:
+                raise RuntimeError("paged KV pool exhausted")
+            table.append(self.free.pop())
+        return table
+
+    def free_table(self, table: List[int]) -> None:
+        self.free.extend(b for b in table if b != 0)
+
+
+@partial(jax.jit, donate_argnames=("pool_k", "pool_v"))
+def paged_write(pool_k, pool_v, k_new, v_new, block_ids, offsets):
+    """Write one token per sequence into the pools.
+    k_new/v_new [b, kv, d]; block_ids/offsets [b]."""
+    return (
+        pool_k.at[block_ids, offsets].set(k_new.astype(pool_k.dtype)),
+        pool_v.at[block_ids, offsets].set(v_new.astype(pool_v.dtype)),
+    )
+
+
+def paged_attention(
+    q: jnp.ndarray,  # [b, heads, d] one query per sequence
+    pool_k: jnp.ndarray,  # [blocks, block, kv, d]
+    pool_v: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [b, max_blocks_per_seq] int32
+    seq_lens: jnp.ndarray,  # [b] tokens valid per sequence
+    num_kv_heads: int,
+) -> jnp.ndarray:
+    """GQA attention over paged K/V. Returns [b, heads, d]."""
+    b, heads, d = q.shape
+    groups = heads // num_kv_heads
+    # gather pages: [b, nblk, blk, kv, d]
+    k = pool_k[block_tables]
+    v = pool_v[block_tables]
+    nblk, blk = k.shape[1], k.shape[2]
+    k = k.reshape(b, nblk * blk, num_kv_heads, d)
+    v = v.reshape(b, nblk * blk, num_kv_heads, d)
+
+    qg = q.reshape(b, num_kv_heads, groups, d)
+    logits = jnp.einsum("bhgd,bkhd->bhgk", qg, k, preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(float(d))
+    valid = jnp.arange(nblk * blk)[None, :] < seq_lens[:, None]  # [b, T]
+    logits = jnp.where(valid[:, None, None, :], logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgk,bkhd->bhgd", probs, v, preferred_element_type=jnp.float32)
+    return out.reshape(b, heads, d)
+
+
+def paged_decode_step(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    pools: list,
+    tokens: jnp.ndarray,  # [b]
+    positions: jnp.ndarray,  # [b] index of the token being decoded
+    block_tables: jnp.ndarray,  # [b, max_blocks]
+    pcfg: PagedConfig,
+    lora: Optional[dict] = None,
+) -> Tuple[jnp.ndarray, list]:
+    """One decode step over the paged cache for all sequences.
+    Returns (logits [b, vocab], updated pools)."""
+    scaling = llm_cfg.lora_alpha / llm_cfg.lora_r
+    x = qwen2.embed_tokens(frozen_llm, tokens)[:, None, :].astype(pools[0]["k"].dtype)
+    b = x.shape[0]
+    block_idx = positions // pcfg.block_size
+    block_ids = jnp.take_along_axis(block_tables, block_idx[:, None], axis=1)[:, 0]
+    offsets = positions % pcfg.block_size
+    seq_lens = positions + 1
+
+    from affectgpt_tpu.models import nn as _nn
+    from affectgpt_tpu.models.qwen2 import _lora_dense, _mlp, _rope
+
+    new_pools = []
+    for i, layer in enumerate(frozen_llm["layers"]):
+        lora_layer = lora["layers"][i] if lora is not None else None
+        lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
+        h = _nn.rmsnorm(layer["input_ln"], x, llm_cfg.rms_eps)
+        q = _lora_dense(layer["q_proj"], lget("q_proj"), h, scaling).reshape(
+            b, 1, llm_cfg.num_heads, llm_cfg.head_dim
+        )
+        k = _lora_dense(layer["k_proj"], lget("k_proj"), h, scaling).reshape(
+            b, 1, llm_cfg.num_kv_heads, llm_cfg.head_dim
+        )
+        v = _lora_dense(layer["v_proj"], lget("v_proj"), h, scaling).reshape(
+            b, 1, llm_cfg.num_kv_heads, llm_cfg.head_dim
+        )
+        pos2 = positions[:, None]
+        q = _rope(q, pos2, llm_cfg.rope_theta)[:, 0]
+        k = _rope(k, pos2, llm_cfg.rope_theta)[:, 0]
+        pool_k, pool_v = paged_write(
+            pools[i]["k"], pools[i]["v"], k, v[:, 0], block_ids, offsets
+        )
+        new_pools.append({"k": pool_k, "v": pool_v})
+        attn = paged_attention(
+            q.reshape(b, llm_cfg.num_heads, llm_cfg.head_dim), pool_k, pool_v,
+            block_tables, seq_lens, llm_cfg.num_kv_heads,
+        ).reshape(b, 1, llm_cfg.num_heads * llm_cfg.head_dim)
+        attn = _lora_dense(layer["o_proj"], lget("o_proj"), attn, scaling, has_bias=False)
+        x = x + attn
+        h = _nn.rmsnorm(layer["post_attn_ln"], x, llm_cfg.rms_eps)
+        x = x + _mlp(layer, lora_layer, llm_cfg, h)
+
+    x = _nn.rmsnorm(frozen_llm["final_ln"], x, llm_cfg.rms_eps)
+    if llm_cfg.tie_embeddings:
+        logits = jnp.dot(x, frozen_llm["embed_tokens"]["table"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        logits = jnp.dot(x, frozen_llm["lm_head"]["w"], preferred_element_type=jnp.float32)
+    return logits[:, 0], new_pools
+
+
+def prefill_into_pages(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    pools: list,
+    embeds: jnp.ndarray,  # [1, t, d] one sequence
+    block_table: np.ndarray,  # [max_blocks] int32 (host)
+    pcfg: PagedConfig,
+    lora: Optional[dict] = None,
+) -> Tuple[jnp.ndarray, list]:
+    """Prefill one sequence and scatter its K/V into its pages. Returns
+    (last-token logits [vocab], updated pools). Uses the dense forward for
+    the prompt (compute-bound) and a page scatter at the end."""
+    t = embeds.shape[1]
+    cache = qwen2.init_cache(llm_cfg, 1, t, dtype=pools[0]["k"].dtype)
+    mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+    logits, cache = qwen2.forward(
+        frozen_llm, llm_cfg, embeds, mask[:, 0], lora=lora,
+        positions=jnp.arange(t)[None], cache=cache, cache_index=jnp.int32(0),
+    )
+    n_blocks = -(-t // pcfg.block_size)
+    pad_t = n_blocks * pcfg.block_size
+    new_pools = []
+    for i, layer_cache in enumerate(cache):
+        k = jnp.pad(layer_cache["k"][0], ((0, pad_t - t), (0, 0), (0, 0)))
+        v = jnp.pad(layer_cache["v"][0], ((0, pad_t - t), (0, 0), (0, 0)))
+        k = k.reshape(n_blocks, pcfg.block_size, *k.shape[1:])
+        v = v.reshape(n_blocks, pcfg.block_size, *v.shape[1:])
+        ids = jnp.asarray(block_table[:n_blocks])
+        new_pools.append({
+            "k": pools[i]["k"].at[ids].set(k.astype(pools[i]["k"].dtype)),
+            "v": pools[i]["v"].at[ids].set(v.astype(pools[i]["v"].dtype)),
+        })
+    return logits[0, -1], new_pools

@@ -1,0 +1,120 @@
+"""Paged KV cache tests: allocator, page writes, and greedy decode parity
+with the dense-cache generate path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from affectgpt_tpu.inference import generate as gen
+from affectgpt_tpu.inference import paged
+from affectgpt_tpu.models import qwen2
+
+CFG = qwen2.QwenConfig.tiny()
+PARAMS = qwen2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+PCFG = paged.PagedConfig(block_size=4, num_blocks=32, max_blocks_per_seq=8)
+
+
+class TestAllocator:
+    def test_allocate_extend_free(self):
+        alloc = paged.BlockAllocator(PCFG)
+        table = alloc.allocate(9)  # 3 blocks of 4
+        assert len(table) == 3 and 0 not in table
+        alloc.extend(table, 9, 13)  # needs a 4th block
+        assert len(table) == 4
+        before = len(alloc.free)
+        alloc.free_table(table)
+        assert len(alloc.free) == before + 4
+
+    def test_pool_exhaustion(self):
+        alloc = paged.BlockAllocator(PCFG)
+        try:
+            alloc.allocate(PCFG.num_blocks * PCFG.block_size * 2)
+            assert False, "expected exhaustion"
+        except RuntimeError:
+            pass
+
+
+class TestPagedDecode:
+    def test_greedy_matches_dense_generate(self):
+        """Prefill→paged decode must reproduce the dense-cache greedy path."""
+        t_prompt, n_new = 7, 6
+        ids = jax.random.randint(jax.random.PRNGKey(1), (1, t_prompt), 0, 250)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+
+        gcfg = gen.GenerateConfig(max_new_tokens=n_new, do_sample=False, eos_token_id=257)
+        ref_tokens, ref_valid = gen.generate(
+            PARAMS, CFG, gcfg, embeds, jnp.array([t_prompt]),
+            jax.random.PRNGKey(2), max_len=32,
+        )
+        ref = list(np.asarray(ref_tokens[0][: int(ref_valid[0])]))
+
+        pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.float32)
+        alloc = paged.BlockAllocator(PCFG)
+        table = alloc.allocate(t_prompt)
+        table_padded = np.zeros(PCFG.max_blocks_per_seq, np.int32)
+        table_padded[: len(table)] = table
+
+        last_logits, pools = paged.prefill_into_pages(
+            PARAMS, CFG, pools, embeds, table_padded, PCFG
+        )
+        tokens = [int(jnp.argmax(last_logits))]
+        pos = t_prompt
+        for _ in range(n_new - 1):
+            if tokens[-1] == 257:
+                break
+            alloc.extend(table, pos, pos + 1)
+            table_padded[: len(table)] = table
+            logits, pools = paged.paged_decode_step(
+                PARAMS, CFG, pools, jnp.asarray([tokens[-1]]), jnp.asarray([pos]),
+                jnp.asarray(table_padded[None]), PCFG,
+            )
+            tokens.append(int(jnp.argmax(logits[0])))
+            pos += 1
+        got = [t for t in tokens if t != 257][: len(ref)]
+        assert got == ref, (got, ref)
+
+    def test_two_sequences_interleaved(self):
+        """Two sequences with different lengths share the pool without
+        interference."""
+        pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.float32)
+        alloc = paged.BlockAllocator(PCFG)
+        seqs = []
+        for i, t_prompt in enumerate((5, 9)):
+            ids = jax.random.randint(jax.random.PRNGKey(10 + i), (1, t_prompt), 0, 250)
+            embeds = qwen2.embed_tokens(PARAMS, ids)
+            table = alloc.allocate(t_prompt)
+            padded = np.zeros(PCFG.max_blocks_per_seq, np.int32)
+            padded[: len(table)] = table
+            logits, pools = paged.prefill_into_pages(PARAMS, CFG, pools, embeds, padded, PCFG)
+            seqs.append({"ids": ids, "table": table, "padded": padded,
+                         "pos": t_prompt, "tok": int(jnp.argmax(logits))})
+
+        # joint decode step for both sequences
+        for s in seqs:
+            alloc.extend(s["table"], s["pos"], s["pos"] + 1)
+            s["padded"][: len(s["table"])] = s["table"]
+        tokens = jnp.asarray([s["tok"] for s in seqs])
+        positions = jnp.asarray([s["pos"] for s in seqs])
+        tables = jnp.asarray(np.stack([s["padded"] for s in seqs]))
+        logits, pools = paged.paged_decode_step(PARAMS, CFG, pools, tokens, positions, tables, PCFG)
+
+        # each row must match its single-sequence reference decode
+        for i, s in enumerate(seqs):
+            solo_pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.float32)
+            solo_alloc = paged.BlockAllocator(PCFG)
+            table = solo_alloc.allocate(s["pos"])
+            padded = np.zeros(PCFG.max_blocks_per_seq, np.int32)
+            padded[: len(table)] = table
+            embeds = qwen2.embed_tokens(PARAMS, s["ids"])
+            solo_logits, solo_pools = paged.prefill_into_pages(
+                PARAMS, CFG, solo_pools, embeds, padded, PCFG
+            )
+            solo_alloc.extend(table, s["pos"], s["pos"] + 1)
+            padded[: len(table)] = table
+            step_logits, _ = paged.paged_decode_step(
+                PARAMS, CFG, solo_pools, jnp.asarray([s["tok"]]),
+                jnp.asarray([s["pos"]]), jnp.asarray(padded[None]), PCFG,
+            )
+            np.testing.assert_allclose(
+                np.asarray(logits[i]), np.asarray(step_logits[0]), atol=2e-4, rtol=2e-4
+            )
