@@ -175,6 +175,104 @@ def paged_decode_step(
     return logits[:, 0], new_pools
 
 
+class PagedBatchServer:
+    """Continuous batching over the paged cache: HBM is bounded by tokens
+    in flight (block pool), not slots × max_len. Same request/result
+    contract as inference.server.BatchServer."""
+
+    def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
+                 max_slots: int = 8, dtype=jnp.float32, seed: int = 0):
+        from affectgpt_tpu.models import affectgpt as _affectgpt
+
+        self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
+        self.tokenizer = tokenizer
+        self.pcfg = pcfg or PagedConfig()
+        self.max_slots = max_slots
+        self.pools = init_paged_cache(cfg.llm, self.pcfg, dtype=dtype)
+        self.alloc = BlockAllocator(self.pcfg)
+        self.slots = [None] * max_slots  # per-slot dict or None
+        self.pending: List = []
+        self.results = {}
+        self._build_embeds = _affectgpt.build_inputs_embeds
+        self.rng = jax.random.PRNGKey(seed)
+
+    def submit(self, request) -> None:
+        self.pending.append(request)
+
+    def _admit(self) -> None:
+        for i in range(self.max_slots):
+            if self.slots[i] is not None or not self.pending:
+                continue
+            req = self.pending[0]
+            n_blocks = -(-len(req.input_ids) // self.pcfg.block_size)
+            if n_blocks + 1 > len(self.alloc.free):
+                break  # pool full; wait for frees
+            self.pending.pop(0)
+            table = self.alloc.allocate(len(req.input_ids))
+            padded = np.zeros(self.pcfg.max_blocks_per_seq, np.int32)
+            padded[: len(table)] = table
+            feats = {m: jnp.asarray(v[None]) for m, v in req.features.items()}
+            offs = {m: jnp.asarray([o], jnp.int32) for m, o in req.offsets.items()}
+            embeds = self._build_embeds(
+                self.frozen, self.trainable, self.cfg,
+                jnp.asarray(req.input_ids[None]), feats, offs,
+            )
+            last_logits, self.pools = prefill_into_pages(
+                self.frozen["llm"], self.cfg.llm, self.pools, embeds, padded,
+                self.pcfg, lora=self.trainable["lora"],
+            )
+            first = int(jnp.argmax(last_logits))
+            slot = {
+                "request_id": req.request_id, "table": table, "padded": padded,
+                "pos": len(req.input_ids), "tokens": [first],
+                "remaining": req.max_new_tokens - 1,
+            }
+            if first == self.tokenizer.eos_token_id or slot["remaining"] <= 0:
+                self._finish(i, slot)
+            else:
+                self.slots[i] = slot
+
+    def _finish(self, index: int, slot: dict) -> None:
+        tokens = slot["tokens"]
+        if tokens and tokens[-1] == self.tokenizer.eos_token_id:
+            tokens = tokens[:-1]
+        self.results[slot["request_id"]] = tokens
+        self.alloc.free_table(slot["table"])
+        self.slots[index] = None
+
+    def step(self) -> bool:
+        self._admit()
+        live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
+        if not live:
+            return bool(self.pending)
+        for _, s in live:
+            self.alloc.extend(s["table"], s["pos"], s["pos"] + 1)
+            s["padded"][: len(s["table"])] = s["table"]
+        tokens = jnp.asarray([s["tokens"][-1] for _, s in live])
+        positions = jnp.asarray([s["pos"] for _, s in live])
+        tables = jnp.asarray(np.stack([s["padded"] for _, s in live]))
+        logits, self.pools = paged_decode_step(
+            self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
+            tables, self.pcfg, lora=self.trainable["lora"],
+        )
+        sampled = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        for row, (i, s) in enumerate(live):
+            token = int(sampled[row])
+            s["tokens"].append(token)
+            s["pos"] += 1
+            s["remaining"] -= 1
+            if (token == self.tokenizer.eos_token_id or s["remaining"] <= 0
+                    or s["pos"] >= self.pcfg.max_seq_len - 1):
+                self._finish(i, s)
+        return True
+
+    def run_until_drained(self, max_steps: int = 10_000):
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return self.results
+
+
 def prefill_into_pages(
     frozen_llm: dict,
     llm_cfg: qwen2.QwenConfig,

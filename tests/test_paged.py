@@ -118,3 +118,39 @@ class TestPagedDecode:
             np.testing.assert_allclose(
                 np.asarray(logits[i]), np.asarray(step_logits[0]), atol=2e-4, rtol=2e-4
             )
+
+
+class TestPagedBatchServer:
+    def test_matches_dense_server(self):
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.inference.server import BatchServer, Request
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        tok = ByteTokenizer()
+
+        def make_req(rid, length):
+            rng = np.random.RandomState(rid)
+            ids = rng.randint(1, 250, length).astype(np.int32)
+            ids[2 : 2 + acfg.num_video_query_token] = 0
+            return Request(
+                request_id=rid, input_ids=ids,
+                features={"face": rng.randn(8, acfg.visual_dim).astype(np.float32)},
+                offsets={"face": 2}, max_new_tokens=4,
+            )
+
+        requests = [make_req(i, l) for i, l in enumerate([6, 9, 5])]
+        dense = BatchServer(frozen, trainable, acfg, tok, max_slots=2, max_len=64)
+        for r in requests:
+            dense.submit(r)
+        dense_out = dense.run_until_drained()
+
+        pcfg = paged.PagedConfig(block_size=4, num_blocks=64, max_blocks_per_seq=8)
+        pserver = PagedBatchServer(frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=2)
+        for r in requests:
+            pserver.submit(r)
+        paged_out = pserver.run_until_drained()
+        assert paged_out == dense_out
