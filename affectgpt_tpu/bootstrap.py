@@ -123,6 +123,11 @@ def build_model(
                 lambda x: jnp.asarray(x, dtype=dtype), spec.convert(aud_dir)
             )
 
+    if node.get("int8", False):
+        # serving mode: per-channel int8 decoder weights (quantized on device —
+        # see CLAUDE.md: host→device relay transfers are too slow for 7B)
+        frozen["llm"] = qwen2.quantize_params(frozen["llm"])
+
     trainable = affectgpt.init_trainable(jax.random.PRNGKey(seed + 1), model_cfg)
     trainable = checkpoint.apply_checkpoint_overlays(
         trainable, node.get("ckpt"), node.get("ckpt_2"), node.get("ckpt_3")
