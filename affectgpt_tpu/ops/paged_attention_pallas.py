@@ -1,0 +1,148 @@
+"""Pallas paged-attention decode kernel.
+
+Upgrades inference/paged.py's XLA gather attention to a TPU kernel: the
+per-sequence page list rides in as *scalar-prefetch* operands
+(PrefetchScalarGridSpec), so the BlockSpec index maps select which HBM
+page each grid step streams into VMEM — Pallas double-buffers the page
+DMAs across grid steps automatically. Attention is computed flash-style
+(running max / normalizer in SMEM-adjacent scratch) over one page per
+step, so VMEM holds exactly one (block_size × kv × d) K and V tile plus
+the [heads, d] accumulator.
+
+Decode shape: one query token per sequence, GQA (q heads grouped over
+kv heads). Grid = (batch, max_blocks_per_seq); the j loop is sequential
+("arbitrary") for the accumulation, batch is parallel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    # scalar prefetch
+    block_tables_ref,  # [b, max_blocks] int32
+    seq_lens_ref,  # [b] int32
+    # inputs (blocked)
+    q_ref,  # [1, heads, d]
+    k_page_ref,  # [1, block, kv, d]
+    v_page_ref,  # [1, block, kv, d]
+    # output
+    o_ref,  # [1, heads, d]
+    # scratch
+    m_ref,  # [kv, groups] running max
+    l_ref,  # [kv, groups] running denom
+    acc_ref,  # [heads, d] accumulator (f32)
+    *,
+    block_size: int,
+    num_kv_heads: int,
+    groups: int,
+    head_dim: int,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    seq_len = seq_lens_ref[i]
+    start = j * block_size
+    # positions covered by this page
+    pos = start + jax.lax.broadcasted_iota(jnp.int32, (block_size, 1), 0)[:, 0]
+    valid = pos < seq_len  # [block]
+
+    @pl.when(start < seq_len)
+    def _():
+        q = q_ref[0].astype(jnp.float32).reshape(num_kv_heads, groups, head_dim)
+        k = k_page_ref[0].astype(jnp.float32)  # [block, kv, d]
+        v = v_page_ref[0].astype(jnp.float32)
+
+        # scores [kv, groups, block]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        )  # [kv, groups, block]
+        scores = scores / np.sqrt(head_dim).astype(np.float32)
+        scores = jnp.where(valid[None, None, :], scores, -jnp.inf)
+
+        m_prev = m_ref[:]  # [kv, groups]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1))
+        # guard -inf - -inf when a (kv, group) has no valid keys yet
+        safe_m = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - safe_m), 0.0)
+        p = jnp.exp(scores - safe_m[:, :, None])
+        p = jnp.where(valid[None, None, :], p, 0.0)  # [kv, groups, block]
+
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p, v,
+            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            preferred_element_type=jnp.float32,
+        )  # [kv, groups, d]
+        acc = acc_ref[:].reshape(num_kv_heads, groups, head_dim)
+        acc_ref[:] = (acc * alpha[:, :, None] + pv).reshape(
+            num_kv_heads * groups, head_dim
+        )
+        m_ref[:] = m_new
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        denom = jnp.maximum(l_ref[:], 1e-20)[:, :, None]  # [kv, groups, 1]
+        out = acc_ref[:].reshape(num_kv_heads, groups, head_dim) / denom
+        o_ref[0] = out.reshape(num_kv_heads * groups, head_dim).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("num_kv_heads", "interpret"))
+def paged_attention_pallas(
+    q: jnp.ndarray,  # [b, heads, d]
+    pool_k: jnp.ndarray,  # [num_blocks, block, kv, d]
+    pool_v: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [b, max_blocks] int32
+    seq_lens: jnp.ndarray,  # [b] int32
+    num_kv_heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, heads, d = q.shape
+    _, block_size, kv, _ = pool_k.shape
+    assert kv == num_kv_heads
+    groups = heads // num_kv_heads
+    max_blocks = block_tables.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, max_blocks),
+        in_specs=[
+            pl.BlockSpec((1, heads, d), lambda i, j, tables, lens: (i, 0, 0)),
+            pl.BlockSpec((1, block_size, kv, d), lambda i, j, tables, lens: (tables[i, j], 0, 0, 0)),
+            pl.BlockSpec((1, block_size, kv, d), lambda i, j, tables, lens: (tables[i, j], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, heads, d), lambda i, j, tables, lens: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((num_kv_heads, groups), jnp.float32),
+            pltpu.VMEM((num_kv_heads, groups), jnp.float32),
+            pltpu.VMEM((heads, d), jnp.float32),
+        ],
+    )
+    kernel = partial(
+        _kernel, block_size=block_size, num_kv_heads=num_kv_heads,
+        groups=groups, head_dim=d,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, heads, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(block_tables, seq_lens, q, pool_k, pool_v)
