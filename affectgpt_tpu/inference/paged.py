@@ -85,6 +85,20 @@ def paged_write(pool_k, pool_v, k_new, v_new, block_ids, offsets):
     )
 
 
+def paged_attention_auto(
+    q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads: int
+) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU (double-buffered page DMA via
+    scalar-prefetched block tables), XLA gather elsewhere."""
+    if jax.default_backend() == "tpu":
+        from affectgpt_tpu.ops.paged_attention_pallas import paged_attention_pallas
+
+        return paged_attention_pallas(
+            q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads
+        )
+    return paged_attention(q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads)
+
+
 def paged_attention(
     q: jnp.ndarray,  # [b, heads, d] one query per sequence
     pool_k: jnp.ndarray,  # [blocks, block, kv, d]
@@ -93,7 +107,8 @@ def paged_attention(
     seq_lens: jnp.ndarray,  # [b] tokens valid per sequence
     num_kv_heads: int,
 ) -> jnp.ndarray:
-    """GQA attention over paged K/V. Returns [b, heads, d]."""
+    """GQA attention over paged K/V (XLA gather reference). Returns
+    [b, heads, d]."""
     b, heads, d = q.shape
     groups = heads // num_kv_heads
     # gather pages: [b, nblk, blk, kv, d]
@@ -157,7 +172,7 @@ def paged_decode_step(
             pools[i]["k"], pools[i]["v"], k, v[:, 0], block_ids, offsets
         )
         new_pools.append({"k": pool_k, "v": pool_v})
-        attn = paged_attention(
+        attn = paged_attention_auto(
             q.reshape(b, llm_cfg.num_heads, llm_cfg.head_dim), pool_k, pool_v,
             block_tables, seq_lens, llm_cfg.num_kv_heads,
         ).reshape(b, 1, llm_cfg.num_heads * llm_cfg.head_dim)

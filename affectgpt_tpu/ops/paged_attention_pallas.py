@@ -63,13 +63,14 @@ def _kernel(
     @pl.when(start < seq_len)
     def _():
         q = q_ref[0].astype(jnp.float32).reshape(num_kv_heads, groups, head_dim)
-        k = k_page_ref[0].astype(jnp.float32)  # [block, kv, d]
-        v = v_page_ref[0].astype(jnp.float32)
+        # [block, kv, d] → [kv, block, d] (Mosaic requires leading batch dims)
+        k = jnp.transpose(k_page_ref[0].astype(jnp.float32), (1, 0, 2))
+        v = jnp.transpose(v_page_ref[0].astype(jnp.float32), (1, 0, 2))
 
         # scores [kv, groups, block]
         scores = jax.lax.dot_general(
             q, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [kv, groups, block]
         scores = scores / np.sqrt(head_dim).astype(np.float32)
@@ -86,7 +87,7 @@ def _kernel(
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1)
         pv = jax.lax.dot_general(
             p, v,
-            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [kv, groups, d]
         acc = acc_ref[:].reshape(num_kv_heads, groups, head_dim)
