@@ -166,7 +166,10 @@ def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
         orig_shape = x.shape
         x2d = x.reshape(-1, orig_shape[-1])
         if jax.default_backend() == "tpu" and _int8_shapes_ok(x2d, base["w_q"]):
-            y = quant.int8_matmul(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
+            kernel = (
+                quant.int8_matmul_w8a8 if quant.MATMUL_MODE == "w8a8" else quant.int8_matmul
+            )
+            y = kernel(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
         else:
             y = quant.int8_matmul_xla(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
         y = y.reshape(*orig_shape[:-1], base["w_q"].shape[1])

@@ -63,3 +63,17 @@ class TestQuantizedDecoder:
         agreement = (fp.argmax(-1) == q.argmax(-1)).mean()
         assert agreement >= 0.8, agreement
         assert np.isfinite(q).all()
+
+
+class TestW8A8:
+    def test_w8a8_close_to_fp(self):
+        x = jax.random.normal(jax.random.PRNGKey(7), (16, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(8), (256, 512)) * 0.1
+        w_q, scales = quant.quantize_per_channel(w)
+        ref = np.asarray(x @ w)
+        got = np.asarray(
+            quant.int8_matmul_w8a8(x, w_q, scales, block_m=16, block_n=256,
+                                   block_k=128, interpret=True)
+        )
+        rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel < 0.05, rel
