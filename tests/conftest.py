@@ -21,18 +21,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# Remove the axon (remote TPU relay) backend factory entirely: tests are
-# CPU-only and a registered-but-unused relay client has been observed to
-# take the whole process down mid-run (silent SIGKILL-style death).
-try:  # noqa: SIM105
-    from jax._src import xla_bridge as _xb
-
-    for _name in list(getattr(_xb, "_backend_factories", {})):
-        if _name not in ("cpu",):
-            _xb._backend_factories.pop(_name, None)
-except Exception:
-    pass
-
 import pytest  # noqa: E402
 
 
