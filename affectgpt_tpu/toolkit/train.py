@@ -138,6 +138,24 @@ def train_fusion_model(
     return params, history
 
 
+def train_cross_corpus(
+    model_name: str,
+    args: FusionArgs,
+    source: FeatureTable,
+    target: FeatureTable,
+    **train_kwargs,
+):
+    """Cross-corpus protocol: train on the source corpus, evaluate on the
+    target corpus (reference toolkit/dataloader/crossdis cross-dataset
+    loaders). Returns (params, history, target_metrics)."""
+    params, history = train_fusion_model(
+        model_name, args, source, test=None, **train_kwargs
+    )
+    target_metrics = evaluate_fusion_model(model_name, args, params, target)
+    logger.info("cross-corpus %s → target: %s", model_name, target_metrics)
+    return params, history, target_metrics
+
+
 def evaluate_fusion_model(model_name: str, args: FusionArgs, params, table: FeatureTable):
     import jax.numpy as jnp
 

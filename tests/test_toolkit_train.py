@@ -39,3 +39,15 @@ def test_train_improves_metrics():
     final = evaluate_fusion_model("attention", args, params, table)
     assert final["emo_accuracy"] > 0.5  # learnable synthetic signal
     assert "combined" in final and "val_mse" in final
+
+
+def test_cross_corpus_protocol():
+    from affectgpt_tpu.toolkit.train import train_cross_corpus
+
+    args, source = make_tables(n=48, seed=0)
+    _, target = make_tables(n=24, seed=7)
+    params, history, metrics = train_cross_corpus(
+        "lf_dnn", args, source, target, epochs=6, batch_size=16, lr=5e-3
+    )
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    assert "emo_accuracy" in metrics and 0.0 <= metrics["emo_accuracy"] <= 1.0
