@@ -54,6 +54,11 @@ def parse_args():
                         help="'last', 'all', a single epoch number, or 'a-b' range")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode (quantized decoder weights)")
+    parser.add_argument("--paged", action="store_true",
+                        help="serve through the paged-KV continuous-batching engine "
+                             "(greedy decoding; HBM bounded by tokens in flight)")
+    parser.add_argument("--paged_block_size", type=int, default=16)
+    parser.add_argument("--paged_num_blocks", type=int, default=2048)
     return parser.parse_args()
 
 
@@ -134,6 +139,44 @@ def main() -> None:
         )
 
 
+def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stacked):
+    """Route one chunk through the paged-KV continuous-batching engine
+    (greedy). Features arrive stacked [b, t, d]; each request takes its row."""
+    from affectgpt_tpu.inference.generate import trim_output_text
+    from affectgpt_tpu.inference.paged import PagedBatchServer, PagedConfig
+    from affectgpt_tpu.inference.server import Request
+
+    ids, lengths, offsets = chat.build_prompt_batch(
+        face_or_frame, subtitles, user_message
+    )
+    max_tokens = int(lengths.max()) + args.max_new_tokens
+    pcfg = PagedConfig(
+        block_size=args.paged_block_size,
+        num_blocks=args.paged_num_blocks,
+        max_blocks_per_seq=-(-max_tokens // args.paged_block_size),
+    )
+    server = PagedBatchServer(
+        chat.frozen, chat.trainable, chat.cfg, chat.tokenizer,
+        pcfg=pcfg, max_slots=min(len(subtitles), 16),
+        dtype=chat.frozen["llm"]["embed_tokens"]["table"].dtype,
+    )
+    for i in range(len(subtitles)):
+        server.submit(Request(
+            request_id=i,
+            input_ids=np.asarray(ids[i][: lengths[i]], np.int32),
+            features={m: np.asarray(v[i]) for m, v in stacked.items()},
+            offsets={m: int(o[i]) for m, o in offsets.items()},
+            max_new_tokens=args.max_new_tokens,
+        ))
+    results = server.run_until_drained()
+    return [
+        trim_output_text(
+            chat.tokenizer.decode(results[i], skip_special_tokens=True)
+        )
+        for i in range(len(subtitles))
+    ]
+
+
 def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
                  face_or_frame, user_message, result_root, epoch_tag, data_model_cfg):
     for ds_name in datasets:
@@ -174,10 +217,15 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
                         frozen, model_cfg, {m: jnp.asarray(np.stack(raws))}
                     )
                     stacked.update(enc)
-            responses = chat.answer_batch(
-                face_or_frame, subtitles, user_message, stacked,
-                rng=jax.random.PRNGKey(start), max_new_tokens=args.max_new_tokens,
-            )
+            if args.paged:
+                responses = answer_batch_paged(
+                    args, chat, face_or_frame, subtitles, user_message, stacked,
+                )
+            else:
+                responses = chat.answer_batch(
+                    face_or_frame, subtitles, user_message, stacked,
+                    rng=jax.random.PRNGKey(start), max_new_tokens=args.max_new_tokens,
+                )
             for name, response in zip(chunk, responses):
                 name2reason[name] = response
             logger.info("%s: %d/%d clips", ds_name, start + len(chunk), len(test_names))

@@ -69,3 +69,17 @@ def test_inference_hybird_main(corpus, tmp_path, monkeypatch):
     mtime = out.stat().st_mtime
     entry.main()
     assert out.stat().st_mtime == mtime
+
+    # paged serving path: same artifact contract through PagedBatchServer
+    monkeypatch.setattr(
+        sys, "argv",
+        ["inference_hybird.py", "--cfg-path", str(cfg_path), "--dataset", "MER2023",
+         "--batch_size", "2", "--max_new_tokens", "4", "--paged",
+         "--paged_block_size", "8", "--paged_num_blocks", "512"],
+    )
+    out.unlink()
+    entry.main()
+    assert out.exists()
+    paged = np.load(out, allow_pickle=True)["name2reason"].tolist()
+    assert set(paged) == set(NAMES)
+    assert all(isinstance(v, str) for v in paged.values())
