@@ -100,8 +100,9 @@ def generate(
     logits, cache = qwen2.forward(
         frozen_llm, llm_cfg, embeds, prefill_mask,
         lora=lora, positions=positions, cache=cache, cache_index=jnp.int32(0),
+        last_token_only=True,  # left-packed: every prompt ends at the last column
     )
-    last_logits = logits[:, -1, :]  # every row's prompt ends at the last column
+    last_logits = logits[:, -1, :]
 
     stop_ids = jnp.asarray(
         (gen_cfg.eos_token_id,) + tuple(gen_cfg.stop_token_ids), dtype=jnp.int32

@@ -306,6 +306,7 @@ def prefill_into_pages(
     logits, cache = qwen2.forward(
         frozen_llm, llm_cfg, embeds, mask[:, 0], lora=lora,
         positions=jnp.arange(t)[None], cache=cache, cache_index=jnp.int32(0),
+        last_token_only=True,
     )
     n_blocks = -(-t // pcfg.block_size)
     pad_t = n_blocks * pcfg.block_size

@@ -64,6 +64,7 @@ def _prefill(frozen, trainable, cfg, input_ids, features, offsets, lengths, max_
     logits, cache = qwen2.forward(
         frozen["llm"], cfg.llm, embeds, mask, lora=trainable["lora"],
         positions=positions, cache=cache, cache_index=jnp.int32(0),
+        last_token_only=True,
     )
     # left-packed rows end at the last column: shift each row's cache left so
     # token 0 sits at column 0 (slot-local canonical layout)

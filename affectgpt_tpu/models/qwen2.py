@@ -263,13 +263,17 @@ def forward(
     cache: Optional[list] = None,
     cache_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    last_token_only: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[list]]:
     """Run the decoder stack.
 
     inputs_embeds [b, t, d]; attention_mask:
       - training/prefill: [b, t] validity (causal mask built internally), or
       - decode (cache given): [b, t, max_len] explicit key mask.
-    Returns (logits [b, t, vocab], new_cache or None).
+    last_token_only: project only the final position through the lm_head
+    (prefill — only the next-token logits are consumed; skips a [b·t, vocab]
+    matmul and the fp32 logits HBM traffic).
+    Returns (logits [b, t, vocab] or [b, 1, vocab], new_cache or None).
     """
     b, t, _ = inputs_embeds.shape
     if positions is None:
@@ -305,6 +309,8 @@ def forward(
             new_cache.append(updated)
 
     x = nn.rmsnorm(params["final_ln"], x, cfg.rms_eps)
+    if last_token_only:
+        x = x[:, -1:, :]
     if cfg.tie_embeddings:
         logits = jnp.dot(
             x, params["embed_tokens"]["table"].T, preferred_element_type=jnp.float32
