@@ -193,10 +193,12 @@ def paged_decode_step(
 class PagedBatchServer:
     """Continuous batching over the paged cache: HBM is bounded by tokens
     in flight (block pool), not slots × max_len. Same request/result
-    contract as inference.server.BatchServer."""
+    contract as inference.server.BatchServer; greedy by default,
+    top-p sampling with do_sample=True."""
 
     def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
-                 max_slots: int = 8, dtype=jnp.float32, seed: int = 0):
+                 max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
+                 do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
@@ -210,6 +212,17 @@ class PagedBatchServer:
         self.results = {}
         self._build_embeds = _affectgpt.build_inputs_embeds
         self.rng = jax.random.PRNGKey(seed)
+        self.do_sample, self.top_p, self.temperature = do_sample, top_p, temperature
+
+    def _sample(self, logits: jnp.ndarray) -> jnp.ndarray:
+        """logits [b, vocab] → tokens [b] (top-p when sampling, else argmax;
+        the reference answer_sample defaults: top-p 0.9)."""
+        if not self.do_sample:
+            return jnp.argmax(logits, axis=-1)
+        from affectgpt_tpu.inference import generate as _gen
+
+        self.rng, key = jax.random.split(self.rng)
+        return _gen.top_p_sample(key, logits, self.top_p, self.temperature)
 
     def submit(self, request) -> None:
         self.pending.append(request)
@@ -236,7 +249,7 @@ class PagedBatchServer:
                 self.frozen["llm"], self.cfg.llm, self.pools, embeds, padded,
                 self.pcfg, lora=self.trainable["lora"],
             )
-            first = int(jnp.argmax(last_logits))
+            first = int(self._sample(last_logits[None])[0])
             slot = {
                 "request_id": req.request_id, "table": table, "padded": padded,
                 "pos": len(req.input_ids), "tokens": [first],
@@ -270,7 +283,7 @@ class PagedBatchServer:
             self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
             tables, self.pcfg, lora=self.trainable["lora"],
         )
-        sampled = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        sampled = np.asarray(self._sample(logits), np.int32)
         for row, (i, s) in enumerate(live):
             token = int(sampled[row])
             s["tokens"].append(token)

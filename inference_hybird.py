@@ -56,7 +56,7 @@ def parse_args():
                         help="int8 serving mode (quantized decoder weights)")
     parser.add_argument("--paged", action="store_true",
                         help="serve through the paged-KV continuous-batching engine "
-                             "(greedy decoding; HBM bounded by tokens in flight)")
+                             "(top-p sampling; HBM bounded by tokens in flight)")
     parser.add_argument("--paged_block_size", type=int, default=16)
     parser.add_argument("--paged_num_blocks", type=int, default=2048)
     return parser.parse_args()
@@ -139,9 +139,11 @@ def main() -> None:
         )
 
 
-def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stacked):
+def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stacked,
+                       seed: int = 0):
     """Route one chunk through the paged-KV continuous-batching engine
-    (greedy). Features arrive stacked [b, t, d]; each request takes its row."""
+    (top-p sampling, matching chat.answer_batch semantics). Features arrive
+    stacked [b, t, d]; each request takes its row."""
     from affectgpt_tpu.inference.generate import trim_output_text
     from affectgpt_tpu.inference.paged import PagedBatchServer, PagedConfig
     from affectgpt_tpu.inference.server import Request
@@ -159,6 +161,7 @@ def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stack
         chat.frozen, chat.trainable, chat.cfg, chat.tokenizer,
         pcfg=pcfg, max_slots=min(len(subtitles), 16),
         dtype=chat.frozen["llm"]["embed_tokens"]["table"].dtype,
+        do_sample=True, top_p=0.9, seed=seed,
     )
     for i in range(len(subtitles)):
         server.submit(Request(
@@ -220,6 +223,7 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
             if args.paged:
                 responses = answer_batch_paged(
                     args, chat, face_or_frame, subtitles, user_message, stacked,
+                    seed=start,
                 )
             else:
                 responses = chat.answer_batch(

@@ -154,3 +154,18 @@ class TestPagedBatchServer:
             pserver.submit(r)
         paged_out = pserver.run_until_drained()
         assert paged_out == dense_out
+
+        # top-p sampling mode: same seed → deterministic, valid token ids
+        outs = []
+        for _ in range(2):
+            sserver = PagedBatchServer(
+                frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=2,
+                do_sample=True, top_p=0.9, seed=3,
+            )
+            for r in requests:
+                sserver.submit(r)
+            outs.append(sserver.run_until_drained())
+        vocab = acfg.llm.vocab_size
+        assert outs[0] == outs[1]
+        assert set(outs[0]) == {r.request_id for r in requests}
+        assert all(0 <= t < vocab for toks in outs[0].values() for t in toks)
