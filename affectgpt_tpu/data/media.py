@@ -8,10 +8,11 @@ and index selection; every pixel/sample transform happens on device
 
 - WAV audio: native C++ reader (native/wavio, ctypes) when built, else a
   pure-python RIFF parser (PCM16/24/32, float32) — no torchaudio.
-- Video frames: decord if imported successfully, else an `ffmpeg` binary
-  if present, else `.npy` frame dumps (and, for faces, the OpenFace
-  `.npy` crops the reference also uses). This environment has neither
-  decord nor ffmpeg, so container decode is gated, not assumed.
+- Video frames, in preference order: native C++ AVI/MJPEG decoder
+  (native/videodec.cpp — demuxes the container and entropy-decodes ONLY
+  the sampled frame indices), then decord, then OpenCV, then an `ffmpeg`
+  binary, then `.npy` frame dumps (and, for faces, the OpenFace `.npy`
+  crops the reference also uses). Codecs stay gated, never assumed.
 - Preextracted features: `.npy` caches with the reference's directory
   contract `{root}/{dataset}/{modality}_{encoder}_{sampling}_{n}frms/{name}.npy`
   (reference: extract_multimodal_features_precompute.py:820-846).
@@ -143,6 +144,102 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 # Video frames
 
+_NATIVE_VIDEO = None
+
+
+def _native_video_reader():
+    """ctypes binding to the C++ AVI/MJPEG decoder (native/videodec.cpp),
+    building it on first use if g++ is available."""
+    global _NATIVE_VIDEO
+    if _NATIVE_VIDEO is not None:
+        return _NATIVE_VIDEO or None
+    import ctypes
+
+    native_dir = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..", "native"))
+    lib_path = os.path.join(native_dir, "libvideodec.so")
+    if not os.path.exists(lib_path):
+        import subprocess
+
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True, capture_output=True)
+        except Exception:
+            _NATIVE_VIDEO = False
+            return None
+    if not os.path.exists(lib_path):
+        _NATIVE_VIDEO = False
+        return None
+    lib = ctypes.CDLL(lib_path)
+    lib.videodec_probe.restype = ctypes.c_int
+    lib.videodec_probe.argtypes = [ctypes.c_char_p] + [ctypes.POINTER(ctypes.c_int)] * 3
+    lib.videodec_read.restype = ctypes.c_int
+    lib.videodec_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_ubyte),
+    ]
+    _NATIVE_VIDEO = lib
+    return lib
+
+
+def _read_video_native(video_path, n_frms, sampling_name, rng, au_info):
+    """Two-call protocol: probe frame count → compute sampling indices →
+    decode only those frames (RGB24). Returns None when the container or
+    codec is outside the native decoder's scope (caller falls through)."""
+    import ctypes
+
+    lib = _native_video_reader()
+    if lib is None:
+        return None
+    vlen, w, h = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    if lib.videodec_probe(video_path.encode(), ctypes.byref(vlen),
+                          ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    indices = np.asarray(_indices(vlen.value, n_frms, sampling_name, rng, au_info),
+                         dtype=np.int32)
+    out = np.empty((len(indices), h.value, w.value, 3), dtype=np.uint8)
+    status = lib.videodec_read(
+        video_path.encode(), indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(indices), out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    return out if status == 0 else None
+
+
+def _try_cv2():
+    try:
+        import cv2  # noqa: F401
+
+        return cv2
+    except Exception:
+        return None
+
+
+def _read_video_cv2(video_path, n_frms, sampling_name, rng, au_info):
+    cv2 = _try_cv2()
+    if cv2 is None:
+        return None
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        return None
+    vlen = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if vlen <= 0:
+        cap.release()
+        return None
+    full = list(_indices(vlen, n_frms, sampling_name, rng, au_info))
+    wanted = set(full)
+    by_index = {}
+    pos = 0
+    while pos <= max(wanted):
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if pos in wanted:
+            by_index[pos] = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        pos += 1
+    cap.release()
+    if not by_index:
+        return None
+    last = by_index[max(by_index)]
+    return np.stack([by_index.get(i, last) for i in full])
+
 
 def _try_decord():
     try:
@@ -168,8 +265,12 @@ def read_video_frames(
 ) -> np.ndarray:
     """Decode `n_frms` sampled frames → [T, H, W, 3] uint8.
 
-    Falls back: decord → ffmpeg binary → `{video_path}.frames.npy` dump.
+    Backend order: native C++ AVI/MJPEG → decord → OpenCV → ffmpeg binary
+    → `{video_path}.frames.npy` dump.
     """
+    frames = _read_video_native(video_path, n_frms, sampling_name, rng, au_info)
+    if frames is not None:
+        return frames
     decord = _try_decord()
     if decord is not None:
         vr = decord.VideoReader(uri=video_path)
@@ -177,6 +278,9 @@ def read_video_frames(
         indices = _indices(vlen, n_frms, sampling_name, rng, au_info)
         batch = vr.get_batch(indices)
         return np.asarray(batch.asnumpy() if hasattr(batch, "asnumpy") else batch)
+    frames = _read_video_cv2(video_path, n_frms, sampling_name, rng, au_info)
+    if frames is not None:
+        return frames
     if _ffmpeg_available():
         return _read_video_ffmpeg(video_path, n_frms, sampling_name, rng, au_info)
     npy_path = video_path + ".frames.npy"
@@ -185,8 +289,8 @@ def read_video_frames(
         indices = _indices(len(frames), n_frms, sampling_name, rng, au_info)
         return frames[indices]
     raise RuntimeError(
-        f"No video decode backend (decord/ffmpeg) and no frame dump next to {video_path}; "
-        "use preextracted features or provide .frames.npy"
+        f"No video decode backend (native/decord/cv2/ffmpeg) and no frame dump "
+        f"next to {video_path}; use preextracted features or provide .frames.npy"
     )
 
 
