@@ -21,6 +21,7 @@ import numpy as np
 from affectgpt_tpu import registry
 from affectgpt_tpu.config import Config
 import affectgpt_tpu.data.datasets  # noqa: F401 — registers the dataset classes
+import affectgpt_tpu.data.instruction_datasets  # noqa: F401 — instruction/caption corpora
 from affectgpt_tpu.data.base_dataset import DatasetConfig, ModelDataConfig
 from affectgpt_tpu.data.loaders import DevicePrefetcher, IterLoader, MultiIterLoader
 from affectgpt_tpu.models import affectgpt
@@ -55,16 +56,14 @@ def build_datasets(cfg: Config, tokenizer, model_cfg: affectgpt.AffectGPTConfig)
     return datasets, ratios
 
 
-_DATASET_ALIASES = {
-    "mercaptionplus": "MERCaptionPlus", "ovmerd": "OVMERD", "ovmerdplus": "OVMERDPlus",
-    "mer2025ov": "MER2025OV", "mer2023": "MER2023", "mer2024": "MER2024",
-    "meld": "MELD", "iemocapfour": "IEMOCAPFour", "cmumosi": "CMUMOSI",
-    "cmumosei": "CMUMOSEI", "sims": "SIMS", "simsv2": "SIMSv2",
-}
-
-
 def _canonical_dataset_name(name: str) -> str:
-    return _DATASET_ALIASES.get(name.lower(), name)
+    """YAML keys are conventionally lowercase (the reference's builder
+    names); resolve them case-insensitively against the registry."""
+    registered = registry.names("dataset")
+    if name in registered:
+        return name
+    lowered = {n.lower(): n for n in registered}
+    return lowered.get(name.lower(), name)
 
 
 @registry.register_runner("runner_base")
