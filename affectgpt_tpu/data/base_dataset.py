@@ -229,6 +229,17 @@ class BaseDataset:
         labels = [constants.IGNORE_INDEX] * len(prompt_ids) + list(target_ids)
         return {"input_ids": input_ids, "labels": labels}
 
+    def smoke_check(self, n: int = 3) -> dict:
+        """Build + collate `n` random samples to fail fast on a broken
+        corpus (the reference runs this eagerly at dataset construction,
+        base_dataset.py:156-165; here it is explicit so tests and offline
+        tools construct datasets without touching media). The Runner calls
+        it once per dataset before training starts."""
+        if len(self) == 0:
+            raise RuntimeError(f"{self.dataset}: empty dataset")
+        indices = [self.rng.randint(0, len(self) - 1) for _ in range(min(n, len(self)))]
+        return self.collate([self[i] for i in indices])
+
     # -- sample assembly --------------------------------------------------------------
     def __len__(self) -> int:
         return len(self.annotation)

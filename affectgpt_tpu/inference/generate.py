@@ -75,11 +75,17 @@ def generate(
     rng: jax.Array,
     max_len: int,
     lora: Optional[dict] = None,
+    decode_llm: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate continuations for a batch of spliced prompt embeddings.
 
     prompt_embeds [b, t_pad, d] right-padded; prompt_lengths [b].
     max_len must be >= t_pad + max_new_tokens (KV-cache capacity).
+    decode_llm: optional second weight copy used ONLY inside the decode
+    scan — pass int8-quantized weights (qwen2.quantize_params) to run
+    bf16 prefill (compute-bound, MXU wants bf16) with int8 decode
+    (weight-bandwidth-bound, halves the per-step HBM read). Costs one
+    extra resident copy of the decoder weights.
     Returns (tokens [b, max_new_tokens], num_valid [b]) where tokens after
     the stop position are pad (eos).
     """
@@ -107,6 +113,7 @@ def generate(
     stop_ids = jnp.asarray(
         (gen_cfg.eos_token_id,) + tuple(gen_cfg.stop_token_ids), dtype=jnp.int32
     )
+    step_llm = decode_llm if decode_llm is not None else frozen_llm
 
     def step(carry, step_idx):
         cache, cur_logits, done, rng, cur_pos = carry
@@ -119,13 +126,13 @@ def generate(
         new_done = done | jnp.any(token[:, None] == stop_ids[None, :], axis=-1)
 
         # embed + one decode step at shared cache column
-        tok_embeds = qwen2.embed_tokens(frozen_llm, token)[:, None, :].astype(embeds.dtype)
+        tok_embeds = qwen2.embed_tokens(step_llm, token)[:, None, :].astype(embeds.dtype)
         write_idx = t_pad + step_idx
         key_mask = (jnp.arange(max_len)[None, None, :] <= write_idx) & jnp.concatenate(
             [key_valid, jnp.ones((b, max_len - t_pad), dtype=bool)], axis=1
         )[:, None, :]
         logits_d, cache = qwen2.forward(
-            frozen_llm, llm_cfg, tok_embeds, key_mask,
+            step_llm, llm_cfg, tok_embeds, key_mask,
             lora=lora, positions=cur_pos[:, None], cache=cache,
             cache_index=write_idx,
         )

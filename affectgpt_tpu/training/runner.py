@@ -123,6 +123,14 @@ class Runner:
             remat=bool(run.get("remat", False)),
         )
 
+        if bool(run.get("smoke_check", True)):
+            # fail fast on a broken corpus before any compile/training work
+            # (reference constructs+collates 3 samples at dataset init,
+            # base_dataset.py:156-165)
+            for ds in datasets:
+                ds.smoke_check()
+                logger.info("smoke check ok: %s (%d samples)", ds.dataset, len(ds))
+
         loaders = [
             IterLoader(ds, self.batch_size, seed=int(run.get("seed", 42)) + i)
             for i, ds in enumerate(datasets)

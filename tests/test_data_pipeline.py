@@ -128,6 +128,14 @@ class TestDatasets:
         # empty openset falls back to neutral
         assert ds.annotation[1]["ovlabel"] == "neutral"
 
+    def test_smoke_check(self, corpus):
+        cfg = DatasetConfig(
+            label_type="hybird", face_or_frame="multiface_audio_face_text", max_length=512
+        )
+        ds = MERCaptionPlusDataset(ByteTokenizer(), cfg, MODEL_CFG, seed=0)
+        batch = ds.smoke_check()
+        assert batch["input_ids"].shape[0] == 3  # 3 collated samples
+
     def test_mer2023_preextracted_frame(self, corpus):
         cfg = DatasetConfig(
             label_type="onehot_w_candidates", face_or_frame="frame_text",
