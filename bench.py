@@ -31,7 +31,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
 
-BATCH = 256
+BATCH = 384
 PROMPT_LEN = 128
 NEW_TOKENS = 32
 MAX_LEN = 192
