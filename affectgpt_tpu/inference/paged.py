@@ -198,7 +198,8 @@ class PagedBatchServer:
 
     def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
                  max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
-                 do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0):
+                 do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
+                 prefill_bucket: int = 64):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
@@ -213,6 +214,9 @@ class PagedBatchServer:
         self._build_embeds = _affectgpt.build_inputs_embeds
         self.rng = jax.random.PRNGKey(seed)
         self.do_sample, self.top_p, self.temperature = do_sample, top_p, temperature
+        # prompts padded to a bucket multiple → the prefill program is
+        # shared across prompt lengths instead of recompiling per length
+        self.prefill_bucket = min(prefill_bucket, self.pcfg.max_seq_len)
 
     def _sample(self, logits: jnp.ndarray) -> jnp.ndarray:
         """logits [b, vocab] → tokens [b] (top-p when sampling, else argmax;
@@ -236,18 +240,23 @@ class PagedBatchServer:
             if n_blocks + 1 > len(self.alloc.free):
                 break  # pool full; wait for frees
             self.pending.pop(0)
-            table = self.alloc.allocate(len(req.input_ids))
+            t = len(req.input_ids)
+            table = self.alloc.allocate(t)
             padded = np.zeros(self.pcfg.max_blocks_per_seq, np.int32)
             padded[: len(table)] = table
+            t_bucket = min(-(-t // self.prefill_bucket) * self.prefill_bucket,
+                           self.pcfg.max_seq_len)
+            ids_pad = np.zeros(t_bucket, np.int32)
+            ids_pad[:t] = req.input_ids
             feats = {m: jnp.asarray(v[None]) for m, v in req.features.items()}
             offs = {m: jnp.asarray([o], jnp.int32) for m, o in req.offsets.items()}
             embeds = self._build_embeds(
                 self.frozen, self.trainable, self.cfg,
-                jnp.asarray(req.input_ids[None]), feats, offs,
+                jnp.asarray(ids_pad[None]), feats, offs,
             )
             last_logits, self.pools = prefill_into_pages(
                 self.frozen["llm"], self.cfg.llm, self.pools, embeds, padded,
-                self.pcfg, lora=self.trainable["lora"],
+                self.pcfg, lora=self.trainable["lora"], length=t,
             )
             first = int(self._sample(last_logits[None])[0])
             slot = {
@@ -305,31 +314,50 @@ def prefill_into_pages(
     frozen_llm: dict,
     llm_cfg: qwen2.QwenConfig,
     pools: list,
-    embeds: jnp.ndarray,  # [1, t, d] one sequence
+    embeds: jnp.ndarray,  # [1, t_pad, d] one sequence (may be end-padded)
     block_table: np.ndarray,  # [max_blocks] int32 (host)
     pcfg: PagedConfig,
     lora: Optional[dict] = None,
+    length: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, list]:
     """Prefill one sequence and scatter its K/V into its pages. Returns
     (last-token logits [vocab], updated pools). Uses the dense forward for
-    the prompt (compute-bound) and a page scatter at the end."""
-    t = embeds.shape[1]
-    cache = qwen2.init_cache(llm_cfg, 1, t, dtype=pools[0]["k"].dtype)
-    mask = jnp.tril(jnp.ones((t, t), dtype=bool))[None, None]
+    the prompt (compute-bound) and a page scatter at the end.
+
+    `length` < t_pad means the tail of `embeds` is bucket padding (added so
+    the compiled prefill is shared across prompt lengths): the row is
+    left-packed internally so the real last token sits at the final column
+    (last_token_only), then the cache is unshifted before page scatter.
+    Padding columns that land inside the last real block are masked by
+    seq_lens at attention time; columns beyond it scatter into the
+    reserved null page 0, whose contents are never read unmasked."""
+    t_pad = embeds.shape[1]
+    length = t_pad if length is None else int(length)
+    pad = t_pad - length
+    if pad:
+        embeds = jnp.roll(embeds, pad, axis=1)
+    key_valid = jnp.arange(t_pad) >= pad  # [t_pad]
+    cache = qwen2.init_cache(llm_cfg, 1, t_pad, dtype=pools[0]["k"].dtype)
+    causal = jnp.tril(jnp.ones((t_pad, t_pad), dtype=bool))
+    mask = (causal & key_valid[None, :])[None]
+    positions = jnp.maximum(jnp.arange(t_pad) - pad, 0)[None]
     logits, cache = qwen2.forward(
-        frozen_llm, llm_cfg, embeds, mask[:, 0], lora=lora,
-        positions=jnp.arange(t)[None], cache=cache, cache_index=jnp.int32(0),
+        frozen_llm, llm_cfg, embeds, mask, lora=lora,
+        positions=positions, cache=cache, cache_index=jnp.int32(0),
         last_token_only=True,
     )
-    n_blocks = -(-t // pcfg.block_size)
-    pad_t = n_blocks * pcfg.block_size
+    n_blocks = -(-t_pad // pcfg.block_size)
+    scatter_t = n_blocks * pcfg.block_size
+    ids = jnp.asarray(block_table[:n_blocks])
     new_pools = []
     for i, layer_cache in enumerate(cache):
-        k = jnp.pad(layer_cache["k"][0], ((0, pad_t - t), (0, 0), (0, 0)))
-        v = jnp.pad(layer_cache["v"][0], ((0, pad_t - t), (0, 0), (0, 0)))
+        # unshift: token 0 back to column 0, then split into pages
+        k = jnp.roll(layer_cache["k"][0], -pad, axis=0)
+        v = jnp.roll(layer_cache["v"][0], -pad, axis=0)
+        k = jnp.pad(k, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
         k = k.reshape(n_blocks, pcfg.block_size, *k.shape[1:])
         v = v.reshape(n_blocks, pcfg.block_size, *v.shape[1:])
-        ids = jnp.asarray(block_table[:n_blocks])
         new_pools.append({
             "k": pools[i]["k"].at[ids].set(k.astype(pools[i]["k"].dtype)),
             "v": pools[i]["v"].at[ids].set(v.astype(pools[i]["v"].dtype)),

@@ -116,10 +116,14 @@ class BatchServer:
     def __init__(self, frozen, trainable, cfg: affectgpt.AffectGPTConfig, tokenizer,
                  max_slots: int = 8, max_len: int = 512,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
-                 seed: int = 0):
+                 seed: int = 0, prefill_bucket: int = 64):
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
         self.tokenizer = tokenizer
         self.max_slots, self.max_len = max_slots, max_len
+        # prompts are padded up to a bucket multiple so the compiled prefill
+        # is reused across admissions (otherwise every distinct prompt
+        # length triggers a fresh XLA compile)
+        self.prefill_bucket = prefill_bucket
         self.do_sample, self.top_p, self.temperature = do_sample, top_p, temperature
         self.rng = jax.random.PRNGKey(seed)
         dtype = jnp.result_type(jax.tree.leaves(frozen["llm"])[0].dtype)
@@ -152,7 +156,9 @@ class BatchServer:
         del self.pending[: len(batch)]
         slots = free[: len(batch)]
 
-        t_pad = max(len(r.input_ids) for r in batch)
+        t_max = max(len(r.input_ids) for r in batch)
+        t_pad = min(-(-t_max // self.prefill_bucket) * self.prefill_bucket,
+                    self.max_len)
         ids = np.zeros((len(batch), t_pad), np.int32)
         lengths = np.zeros(len(batch), np.int32)
         offsets: Dict[str, np.ndarray] = {}

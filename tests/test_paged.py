@@ -73,6 +73,38 @@ class TestPagedDecode:
         got = [t for t in tokens if t != 257][: len(ref)]
         assert got == ref, (got, ref)
 
+    def test_bucketed_prefill_matches_exact(self):
+        """End-padded (bucketed) prefill must produce the same last-token
+        logits and page contents as the exact-length prefill."""
+        t, bucket = 7, 12
+        ids = jax.random.randint(jax.random.PRNGKey(5), (1, t), 0, 250)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+        padded_embeds = jnp.pad(embeds, ((0, 0), (0, bucket - t), (0, 0)))
+
+        def run(e, length):
+            pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.float32)
+            alloc = paged.BlockAllocator(PCFG)
+            table = np.zeros(PCFG.max_blocks_per_seq, np.int32)
+            real = alloc.allocate(t)
+            table[: len(real)] = real
+            logits, pools = paged.prefill_into_pages(
+                PARAMS, CFG, pools, e, table, PCFG, length=length
+            )
+            return logits, pools, real
+
+        exact_logits, exact_pools, exact_table = run(embeds, None)
+        buck_logits, buck_pools, buck_table = run(padded_embeds, t)
+        np.testing.assert_allclose(
+            np.asarray(exact_logits), np.asarray(buck_logits), atol=2e-4, rtol=2e-4
+        )
+        # real pages hold identical K/V for the real token columns
+        assert exact_table == buck_table
+        idx = np.asarray(exact_table)
+        for le, lb in zip(exact_pools, buck_pools):
+            ke = np.asarray(le["k"][idx]).reshape(-1, *le["k"].shape[2:])[:t]
+            kb = np.asarray(lb["k"][idx]).reshape(-1, *lb["k"].shape[2:])[:t]
+            np.testing.assert_allclose(ke, kb, atol=2e-4, rtol=2e-4)
+
     def test_two_sequences_interleaved(self):
         """Two sequences with different lengths share the pool without
         interference."""
