@@ -232,42 +232,67 @@ class PagedBatchServer:
         self.pending.append(request)
 
     def _admit(self) -> None:
-        for i in range(self.max_slots):
-            if self.slots[i] is not None or not self.pending:
-                continue
-            req = self.pending[0]
-            n_blocks = -(-len(req.input_ids) // self.pcfg.block_size)
-            if n_blocks + 1 > len(self.alloc.free):
-                break  # pool full; wait for frees
-            self.pending.pop(0)
-            t = len(req.input_ids)
-            table = self.alloc.allocate(t)
+        free = [i for i, s in enumerate(self.slots) if s is None]
+        if not free or not self.pending:
+            return
+        # admit the longest prefix of pending requests that (a) fits the
+        # free slots, (b) fits the block pool, and (c) shares one modality
+        # signature so the whole admission prefills as ONE batched forward
+        signature = tuple(sorted(self.pending[0].features))
+        batch, blocks_needed = [], 0
+        for req in self.pending:
+            if len(batch) >= len(free):
+                break
+            if tuple(sorted(req.features)) != signature:
+                break
+            need = -(-len(req.input_ids) // self.pcfg.block_size) + 1
+            if blocks_needed + need > len(self.alloc.free):
+                break
+            blocks_needed += need
+            batch.append(req)
+        if not batch:
+            return
+        del self.pending[: len(batch)]
+
+        t_max = max(len(r.input_ids) for r in batch)
+        t_bucket = min(-(-t_max // self.prefill_bucket) * self.prefill_bucket,
+                       self.pcfg.max_seq_len)
+        ids = np.zeros((len(batch), t_bucket), np.int32)
+        lengths = np.zeros(len(batch), np.int32)
+        tables, padded_tables = [], []
+        for i, req in enumerate(batch):
+            ids[i, : len(req.input_ids)] = req.input_ids
+            lengths[i] = len(req.input_ids)
+            table = self.alloc.allocate(len(req.input_ids))
             padded = np.zeros(self.pcfg.max_blocks_per_seq, np.int32)
             padded[: len(table)] = table
-            t_bucket = min(-(-t // self.prefill_bucket) * self.prefill_bucket,
-                           self.pcfg.max_seq_len)
-            ids_pad = np.zeros(t_bucket, np.int32)
-            ids_pad[:t] = req.input_ids
-            feats = {m: jnp.asarray(v[None]) for m, v in req.features.items()}
-            offs = {m: jnp.asarray([o], jnp.int32) for m, o in req.offsets.items()}
-            embeds = self._build_embeds(
-                self.frozen, self.trainable, self.cfg,
-                jnp.asarray(ids_pad[None]), feats, offs,
-            )
-            last_logits, self.pools = prefill_into_pages(
-                self.frozen["llm"], self.cfg.llm, self.pools, embeds, padded,
-                self.pcfg, lora=self.trainable["lora"], length=t,
-            )
-            first = int(self._sample(last_logits[None])[0])
+            tables.append(table)
+            padded_tables.append(padded)
+        feats = {m: jnp.asarray(np.stack([r.features[m] for r in batch]))
+                 for m in signature}
+        offs = {m: jnp.asarray([r.offsets.get(m, -1) for r in batch], jnp.int32)
+                for m in signature}
+        embeds = self._build_embeds(
+            self.frozen, self.trainable, self.cfg, jnp.asarray(ids), feats, offs,
+        )
+        last_logits, self.pools = prefill_batch_into_pages(
+            self.frozen["llm"], self.cfg.llm, self.pools, embeds,
+            jnp.asarray(lengths), np.stack(padded_tables), self.pcfg,
+            lora=self.trainable["lora"],
+        )
+        first_tokens = np.asarray(self._sample(last_logits), np.int32)
+        for i, req in enumerate(batch):
             slot = {
-                "request_id": req.request_id, "table": table, "padded": padded,
-                "pos": len(req.input_ids), "tokens": [first],
+                "request_id": req.request_id, "table": tables[i],
+                "padded": padded_tables[i], "pos": int(lengths[i]),
+                "tokens": [int(first_tokens[i])],
                 "remaining": req.max_new_tokens - 1,
             }
-            if first == self.tokenizer.eos_token_id or slot["remaining"] <= 0:
-                self._finish(i, slot)
+            slot_index = free[i]
+            if slot["tokens"][0] == self.tokenizer.eos_token_id or slot["remaining"] <= 0:
+                self._finish(slot_index, slot)
             else:
-                self.slots[i] = slot
+                self.slots[slot_index] = slot
 
     def _finish(self, index: int, slot: dict) -> None:
         tokens = slot["tokens"]
@@ -308,6 +333,56 @@ class PagedBatchServer:
             if not self.step():
                 break
         return self.results
+
+
+def prefill_batch_into_pages(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    pools: list,
+    embeds: jnp.ndarray,  # [b, t_pad, d] end-padded rows
+    lengths: jnp.ndarray,  # [b] true prompt lengths
+    block_tables: np.ndarray,  # [b, max_blocks] int32 (host)
+    pcfg: PagedConfig,
+    lora: Optional[dict] = None,
+) -> Tuple[jnp.ndarray, list]:
+    """Prefill a whole admission batch in one compiled forward and scatter
+    every row's K/V into its pages. Rows are left-packed so each prompt
+    ends at the final column (shared last_token_only lm_head); caches are
+    unshifted per row before the page scatter. Padding columns land in the
+    masked tail of the last real block or the reserved null page 0.
+    Returns (last-token logits [b, vocab], updated pools)."""
+    b, t_pad, _ = embeds.shape
+    lengths = jnp.asarray(lengths, jnp.int32)
+    pad = t_pad - lengths  # [b]
+    embeds = jax.vmap(lambda row, s: jnp.roll(row, s, axis=0))(embeds, pad)
+    key_valid = jnp.arange(t_pad)[None, :] >= pad[:, None]  # [b, t_pad]
+    cache = qwen2.init_cache(llm_cfg, b, t_pad, dtype=pools[0]["k"].dtype)
+    causal = jnp.tril(jnp.ones((t_pad, t_pad), dtype=bool))
+    mask = causal[None] & key_valid[:, None, :]
+    positions = jnp.maximum(jnp.arange(t_pad)[None, :] - pad[:, None], 0)
+    logits, cache = qwen2.forward(
+        frozen_llm, llm_cfg, embeds, mask, lora=lora,
+        positions=positions, cache=cache, cache_index=jnp.int32(0),
+        last_token_only=True,
+    )
+    n_blocks = -(-t_pad // pcfg.block_size)
+    scatter_t = n_blocks * pcfg.block_size
+    ids = jnp.asarray(block_tables[:, :n_blocks].reshape(-1))
+
+    def unshift_pages(buf):  # [b, t_pad, kv, d] → [b·n_blocks, block, kv, d]
+        buf = jax.vmap(lambda row, s: jnp.roll(row, -s, axis=0))(buf, pad)
+        buf = jnp.pad(buf, ((0, 0), (0, scatter_t - t_pad), (0, 0), (0, 0)))
+        return buf.reshape(b * n_blocks, pcfg.block_size, *buf.shape[2:])
+
+    new_pools = []
+    for i, layer_cache in enumerate(cache):
+        new_pools.append({
+            "k": pools[i]["k"].at[ids].set(
+                unshift_pages(layer_cache["k"]).astype(pools[i]["k"].dtype)),
+            "v": pools[i]["v"].at[ids].set(
+                unshift_pages(layer_cache["v"]).astype(pools[i]["v"].dtype)),
+        })
+    return logits[:, -1], new_pools
 
 
 def prefill_into_pages(
