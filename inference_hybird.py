@@ -199,14 +199,28 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
         name2sub = getattr(dataset, "name2subtitle", {})
         name2reason = {}
         bs = args.batch_size
-        for start in range(0, len(test_names), bs):
-            chunk = test_names[start : start + bs]
-            features, subtitles = {}, []
-            feats_per_name = []
+
+        def load_chunk(chunk):
+            """Host-side modality IO for one chunk (runs in the prefetch
+            thread; device work stays on the main thread)."""
+            feats_per_name, subtitles = [], []
             for name in chunk:
-                payload = dataset.load_modalities({"name": name})
-                feats_per_name.append(payload)
+                feats_per_name.append(dataset.load_modalities({"name": name}))
                 subtitles.append(name2sub.get(name, ""))
+            return feats_per_name, subtitles
+
+        chunks = [test_names[s : s + bs] for s in range(0, len(test_names), bs)]
+        # double-buffer: chunk k+1's npy/media reads overlap chunk k's decode
+        import concurrent.futures
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        pending = pool.submit(load_chunk, chunks[0]) if chunks else None
+        for ci, chunk in enumerate(chunks):
+            start = ci * bs
+            feats_per_name, subtitles = pending.result()
+            pending = (
+                pool.submit(load_chunk, chunks[ci + 1]) if ci + 1 < len(chunks) else None
+            )
             # stack features (preextracted) or encode raw media on device
             stacked: dict = {}
             for m in ("frame", "face", "audio"):
@@ -233,6 +247,7 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
             for name, response in zip(chunk, responses):
                 name2reason[name] = response
             logger.info("%s: %d/%d clips", ds_name, start + len(chunk), len(test_names))
+        pool.shutdown(wait=False)
 
         np.savez_compressed(save_path, name2reason=name2reason)
         logger.info("saved %s (%d clips)", save_path, len(name2reason))
