@@ -369,7 +369,8 @@ def prefill_batch_into_pages(
     scatter_t = n_blocks * pcfg.block_size
     ids = jnp.asarray(block_tables[:, :n_blocks].reshape(-1))
 
-    def unshift_pages(buf):  # [b, t_pad, kv, d] → [b·n_blocks, block, kv, d]
+    def unshift_pages(buf):  # [b, kv, t_pad, d] → [b·n_blocks, block, kv, d]
+        buf = buf.transpose(0, 2, 1, 3)  # page pools keep time-major layout
         buf = jax.vmap(lambda row, s: jnp.roll(row, -s, axis=0))(buf, pad)
         buf = jnp.pad(buf, ((0, 0), (0, scatter_t - t_pad), (0, 0), (0, 0)))
         return buf.reshape(b * n_blocks, pcfg.block_size, *buf.shape[2:])
@@ -427,8 +428,9 @@ def prefill_into_pages(
     new_pools = []
     for i, layer_cache in enumerate(cache):
         # unshift: token 0 back to column 0, then split into pages
-        k = jnp.roll(layer_cache["k"][0], -pad, axis=0)
-        v = jnp.roll(layer_cache["v"][0], -pad, axis=0)
+        # (dense cache is [1, kv, T, d]; pools keep time-major [.., block, kv, d])
+        k = jnp.roll(layer_cache["k"][0].transpose(1, 0, 2), -pad, axis=0)
+        v = jnp.roll(layer_cache["v"][0].transpose(1, 0, 2), -pad, axis=0)
         k = jnp.pad(k, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
         k = k.reshape(n_blocks, pcfg.block_size, *k.shape[1:])

@@ -67,9 +67,10 @@ def _prefill(frozen, trainable, cfg, input_ids, features, offsets, lengths, max_
         last_token_only=True,
     )
     # left-packed rows end at the last column: shift each row's cache left so
-    # token 0 sits at column 0 (slot-local canonical layout)
+    # token 0 sits at column 0 (slot-local canonical layout).
+    # per-row cache is [kv, T, d] — time on axis 1.
     def unshift(buf, s):
-        return jnp.roll(buf, -s, axis=0)
+        return jnp.roll(buf, -s, axis=1)
 
     cache = [
         {"k": jax.vmap(unshift)(layer["k"], pad_len), "v": jax.vmap(unshift)(layer["v"], pad_len)}
@@ -94,7 +95,7 @@ def _splice_cache(cache, new_cache, slot_ids):
 def _decode_step(frozen, trainable, cfg, cache, tokens, positions, active, rng, do_sample, top_p, temperature):
     """One token for every slot. tokens [S], positions [S] (next cache
     column per slot), active [S] bool."""
-    max_len = cache[0]["k"].shape[1]
+    max_len = cache[0]["k"].shape[2]  # cache layout [slots, kv, T, d]
     embeds = qwen2.embed_tokens(frozen["llm"], tokens)[:, None, :].astype(cache[0]["k"].dtype)
     key_mask = (jnp.arange(max_len)[None, None, :] <= positions[:, None, None]) & active[:, None, None]
     logits, cache = qwen2.forward(

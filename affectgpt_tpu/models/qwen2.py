@@ -212,6 +212,13 @@ def _attention(
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
 
+    # K/V live in [b, kv_heads, T, d] layout: the decode-step QK^T and PV
+    # dots then have their batch dims (b, h) leading in the SAME positions
+    # on both operands, so XLA never materializes a per-step transpose of
+    # the cache (TPU-measured: ~0.125 ms/layer saved at b384/T192).
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
     new_cache = None
     if cache is not None:
         # decode: write new k/v at cache_index, attend over the whole cache.
@@ -219,13 +226,13 @@ def _attention(
         # or a per-row [b] array (continuous-batching server).
         if getattr(cache_index, "ndim", 0) == 1:
             def write_row(buf, new, idx):
-                return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=0)
+                return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=1)
 
             k_cache = jax.vmap(write_row)(cache["k"], k, cache_index)
             v_cache = jax.vmap(write_row)(cache["v"], v, cache_index)
         else:
-            k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=1)
+            k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=2)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=2)
         new_cache = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
@@ -235,12 +242,16 @@ def _attention(
     # dominant HBM cost at large batch).
     groups = cfg.num_heads // cfg.num_kv_heads
     qg = q.reshape(b, t, cfg.num_kv_heads, groups, cfg.head_dim)
-    logits = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    if jax.default_backend() == "cpu" and k.dtype == jnp.bfloat16:
+        # the CPU backend cannot execute a bf16×bf16→f32 dot for this
+        # contraction pattern (TPU MXU handles it natively)
+        qg, k, v = (a.astype(jnp.float32) for a in (qg, k, v))
+    logits = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32)
     logits = logits / jnp.sqrt(float(cfg.head_dim))
     mask5 = mask[:, :, None, :, :] if mask.ndim == 4 else mask
     logits = jnp.where(mask5, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v, preferred_element_type=jnp.float32)
+    out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, cfg.num_heads * cfg.head_dim)
     return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
 
@@ -329,10 +340,13 @@ def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
 
 
 def init_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> list:
+    """KV cache in [b, kv_heads, max_len, head_dim] layout (time on the
+    sublane-adjacent axis): decode attention contracts head_dim with batch
+    dims (b, h) leading on both operands — no per-step cache transpose."""
     return [
         {
-            "k": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype=dtype),
-            "v": jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim), dtype=dtype),
+            "k": jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype=dtype),
+            "v": jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype=dtype),
         }
         for _ in range(cfg.num_layers)
     ]
