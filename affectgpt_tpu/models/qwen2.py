@@ -197,6 +197,12 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+# Trace-time switch for the single-token decode attention: "xla" (fused by
+# the compiler) or "pallas" (ops/decode_attention_pallas one-kernel chain).
+# TPU-only; every other path ignores it.
+DECODE_ATTENTION = "xla"
+
+
 def _attention(
     layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray, positions: jnp.ndarray,
     mask: jnp.ndarray, cache: Optional[dict], cache_index: Optional[jnp.ndarray],
@@ -236,11 +242,26 @@ def _attention(
         new_cache = {"k": k_cache, "v": v_cache}
         k, v = k_cache, v_cache
 
+    groups = cfg.num_heads // cfg.num_kv_heads
+    if (
+        DECODE_ATTENTION == "pallas"
+        and cache is not None
+        and t == 1
+        and jax.default_backend() == "tpu"
+    ):
+        # fused single-kernel decode attention (QK^T → softmax → PV)
+        from affectgpt_tpu.ops.decode_attention_pallas import decode_attention_pallas
+
+        key_mask = (mask[:, 0, 0, :] if mask.ndim == 4 else mask[:, 0, :])
+        qd = q[:, 0].reshape(b, cfg.num_kv_heads, groups, cfg.head_dim)
+        out = decode_attention_pallas(qd, k, v, key_mask)
+        out = out.astype(x.dtype).reshape(b, 1, cfg.num_heads * cfg.head_dim)
+        return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
+
     # GQA without materializing repeated K/V: fold the query-head groups into
     # a 5-D einsum so XLA broadcasts K/V inside the matmul (a jnp.repeat here
     # would read+write the full repeated cache every decode step — the
     # dominant HBM cost at large batch).
-    groups = cfg.num_heads // cfg.num_kv_heads
     qg = q.reshape(b, t, cfg.num_kv_heads, groups, cfg.head_dim)
     if jax.default_backend() == "cpu" and k.dtype == jnp.bfloat16:
         # the CPU backend cannot execute a bf16×bf16→f32 dot for this
