@@ -51,3 +51,20 @@ def test_cross_corpus_protocol():
     )
     assert history[-1]["train_loss"] < history[0]["train_loss"]
     assert "emo_accuracy" in metrics and 0.0 <= metrics["emo_accuracy"] <= 1.0
+
+
+def test_cross_dimension_protocol():
+    """crossdim parity (reference toolkit/dataloader/crossdim.py): train
+    valence-only on the source corpus, evaluate regression on the target —
+    expressed as cross-corpus with emos=None tables."""
+    from affectgpt_tpu.toolkit.train import train_cross_corpus
+
+    args, source = make_tables(n=48, seed=1)
+    _, target = make_tables(n=24, seed=8)
+    source.emos = None
+    target.emos = None
+    params, history, metrics = train_cross_corpus(
+        "attention", args, source, target, epochs=6, batch_size=16, lr=5e-3
+    )
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    assert "val_mse" in metrics and "emo_accuracy" not in metrics
