@@ -26,17 +26,18 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, head_dim: int):
     q = q_ref[0, 0].astype(jnp.float32)  # [g, d]
     k = k_ref[0, 0].astype(jnp.float32)  # [T, d]
     v = v_ref[0, 0].astype(jnp.float32)
-    valid = m_ref[0] > 0  # [T]
+    m = m_ref[0]  # [1, T] f32 (1 = valid) — kept 2-D: Mosaic layout
+    # inference rejects 1-D vectors here; masking is additive instead of
+    # a bool select for the same reason.
 
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [g, T]
     scores = scores / np.sqrt(head_dim).astype(np.float32)
-    scores = jnp.where(valid[None, :], scores, -jnp.inf)
+    scores = scores + (m - 1.0) * 1e30  # invalid columns → -1e30
     mx = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - mx)
-    p = jnp.where(valid[None, :], p, 0.0)
+    p = jnp.exp(scores - mx) * m  # invalid columns → exactly 0
     denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
     out = jax.lax.dot_general(
         p / denom, v, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -56,7 +57,9 @@ def decode_attention_pallas(
     """Returns [b, kv, groups, d] attention outputs (f32-accumulated)."""
     b, kv, groups, d = q.shape
     t = k_cache.shape[2]
-    mask8 = key_mask.astype(jnp.int8)
+    # [b, 1, T] so the block's trailing two dims (1, T) equal the array's
+    # (Mosaic tiling constraint on sub-array blocks)
+    mask8 = key_mask.astype(jnp.float32)[:, None, :]
     grid = (b, kv)
     return pl.pallas_call(
         partial(_kernel, head_dim=d),
@@ -66,7 +69,7 @@ def decode_attention_pallas(
             pl.BlockSpec((1, 1, groups, d), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, t), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, groups, d), lambda i, j: (i, j, 0, 0)),
         compiler_params=pltpu.CompilerParams(
