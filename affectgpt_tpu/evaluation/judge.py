@@ -75,6 +75,64 @@ def prompt_reason_to_valence(reason: str) -> str:
     )
 
 
+def prompt_reason_merge(reason: str, subtitle: str) -> str:
+    """Merge multimodal clue text + subtitle into one reasoning description
+    (reference reason_merge_qwen, qwen.py:151-191 — the MER-Caption
+    pipeline's fusion step)."""
+    if not subtitle:
+        raise ValueError("subtitle cannot be empty")
+    if reason:
+        payload = f"Clue: {reason}；Subtitle: {subtitle}"
+        return (
+            "Please assume the role of an expert in the field of emotions. "
+            "We have provided clues from the video that may be related to the "
+            "characters' emotional states. In addition, we have also provided "
+            "the subtitle content of the video. Please merge all these "
+            "information to infer the emotional states of the characters, and "
+            "provide reasoning for your inferences. "
+            f"Input: {payload} Output:"
+        )
+    return (
+        "Please assume the role of an expert in the field of emotions. "
+        "We have provided the subtitle content of the video. Please infer the "
+        "emotional states of the characters, and provide reasoning process "
+        f"for your inferences. Input: Subtitle: {subtitle} Output:"
+    )
+
+
+def prompt_reason_to_rank(reason: str, candidates: str = "happy, angry, worried, sad, surprise, neutral") -> str:
+    """Rank the one-hot candidates by likelihood (reference
+    reason_to_rank_qwen, qwen.py:244-268)."""
+    return (
+        "Please assume the role of an expert in the emotional domain. "
+        "We provide clues that may be related to the emotions of the character. "
+        "Based on the provided clues, identify the emotional states of the main "
+        "character. We provide a set of emotional candidates, please rank them "
+        "in order of likelihood from high to low. "
+        f"The candidate set is [{candidates}]. "
+        "Please directly output the ranking results. "
+        f"Input: {reason}; Output: "
+    )
+
+
+def prompt_reason_to_onehot(reason: str, candidates: str = "happy, angry, worried, sad, surprise, neutral") -> str:
+    """Description → single one-hot label directly (reference
+    reason_to_onehot_qwen, qwen.py:203-241, few-shot constrained)."""
+    return (
+        "Please act as an expert in the field of emotions. "
+        "We provide clues that related to the character's emotions. Based on "
+        "the provided clues, please identify the emotional states of the main "
+        "character. The main character is the one with the most detailed clues. "
+        "Please select one of the following emotion labels that best matches "
+        f"the given clues: [{candidates}]. We would like to emphasize that "
+        "please must only output one label from the above candidates. You "
+        "cannot output label outside these candidates, like mixed, happiness. "
+        "Input: We cannot recognize his emotional state; Output: neutral "
+        "Input: His emotional state is joyful, happiness, anger; Output: happy "
+        f"Input: {reason}; Output: "
+    )
+
+
 def postprocess_response(response: str) -> str:
     """Strip Input/Output/translation prefixes and newlines (reference
     func_postprocess_qwen, qwen.py:15-31)."""
@@ -145,6 +203,20 @@ class LLMJudge:
             [prompt_openset_to_onehot(o, candidates) for o in opensets]
         )
 
+    def reason_merge(self, reasons: Sequence[str], subtitles: Sequence[str]) -> List[str]:
+        return self.complete_batch(
+            [prompt_reason_merge(r, s) for r, s in zip(reasons, subtitles)]
+        )
+
+    def reason_to_rank(self, reasons: Sequence[str],
+                       candidates: str = "happy, angry, worried, sad, surprise, neutral") -> List[str]:
+        return self.complete_batch([prompt_reason_to_rank(r, candidates) for r in reasons])
+
+    def reason_to_onehot(self, reasons: Sequence[str],
+                         candidates: str = "happy, angry, worried, sad, surprise, neutral") -> List[str]:
+        out = self.complete_batch([prompt_reason_to_onehot(r, candidates) for r in reasons])
+        return [o.rstrip("。.").strip() for o in out]
+
 
 class LexiconJudge:
     """Deterministic fallback: match emotion-wheel surface forms inside the
@@ -181,4 +253,31 @@ class LexiconJudge:
             words = set(re.findall(r"[a-z]+", str(openset).lower()))
             pos, neg = len(words & positive), len(words & negative)
             out.append("positive" if pos > neg else "negative" if neg > pos else "neutral")
+        return out
+
+    def reason_merge(self, reasons: Sequence[str], subtitles: Sequence[str]) -> List[str]:
+        # no generation available: concatenate clue + subtitle deterministically
+        return [
+            (f"{r} The subtitle says: {s}" if r else f"The subtitle says: {s}")
+            for r, s in zip(reasons, subtitles)
+        ]
+
+    def reason_to_rank(self, reasons: Sequence[str],
+                       candidates: str = "happy, angry, worried, sad, surprise, neutral") -> List[str]:
+        cand = [c.strip() for c in candidates.split(",")]
+        out = []
+        for reason in reasons:
+            text = str(reason).lower()
+            hits = [c for c in cand if re.search(rf"\b{re.escape(c)}\b", text)]
+            out.append(", ".join(hits + [c for c in cand if c not in hits]))
+        return out
+
+    def reason_to_onehot(self, reasons: Sequence[str],
+                         candidates: str = "happy, angry, worried, sad, surprise, neutral") -> List[str]:
+        cand = [c.strip() for c in candidates.split(",")]
+        out = []
+        for reason in reasons:
+            text = str(reason).lower()
+            hits = [c for c in cand if re.search(rf"\b{re.escape(c)}\b", text)]
+            out.append(hits[0] if hits else "neutral")
         return out

@@ -9,7 +9,10 @@ from affectgpt_tpu.evaluation.judge import (
     LexiconJudge,
     postprocess_response,
     prompt_openset_to_sentiment,
+    prompt_reason_merge,
+    prompt_reason_to_onehot,
     prompt_reason_to_openset,
+    prompt_reason_to_rank,
 )
 
 
@@ -22,6 +25,23 @@ class TestPrompts:
     def test_sentiment_prompt(self):
         p = prompt_openset_to_sentiment("[joyful]")
         assert "[positive, negative, neutral]" in p
+
+    def test_reason_merge_prompt(self):
+        p = prompt_reason_merge("He smiles.", "I am fine.")
+        assert "Clue: He smiles." in p and "Subtitle: I am fine." in p
+        # subtitle-only variant drops the clue wording entirely
+        p2 = prompt_reason_merge("", "I am fine.")
+        assert "Clue" not in p2 and "Subtitle: I am fine." in p2
+        with pytest.raises(ValueError):
+            prompt_reason_merge("clue", "")
+
+    def test_rank_and_onehot_prompts(self):
+        p = prompt_reason_to_rank("He cries.")
+        assert "rank them in order of likelihood" in p
+        assert "[happy, angry, worried, sad, surprise, neutral]" in p
+        p2 = prompt_reason_to_onehot("He cries.", candidates="happy, sad")
+        assert "[happy, sad]" in p2
+        assert "Output: neutral" in p2  # few-shot examples retained
 
 
 class TestPostprocess:
@@ -46,6 +66,27 @@ class TestLexiconJudge:
         assert judge.openset_to_sentiment(["[joyful, happy]"])[0] == "positive"
         assert judge.openset_to_sentiment(["[sad]"])[0] == "negative"
         assert judge.openset_to_sentiment(["[]"])[0] == "neutral"
+
+    def test_reason_merge(self):
+        judge = LexiconJudge(vocabulary=[])
+        out = judge.reason_merge(["He frowns.", ""], ["I quit.", "Hello."])
+        assert out[0] == "He frowns. The subtitle says: I quit."
+        assert out[1] == "The subtitle says: Hello."
+
+    def test_rank(self):
+        judge = LexiconJudge(vocabulary=[])
+        out = judge.reason_to_rank(["She looks sad and worried."])[0]
+        ranked = out.split(", ")
+        assert set(ranked[:2]) == {"sad", "worried"}
+        assert sorted(ranked) == sorted(
+            ["happy", "angry", "worried", "sad", "surprise", "neutral"]
+        )
+
+    def test_onehot(self):
+        judge = LexiconJudge(vocabulary=[])
+        assert judge.reason_to_onehot(["clearly angry tone"])[0] == "angry"
+        assert judge.reason_to_onehot(["nothing to see"])[0] == "neutral"
+        assert judge.reason_to_onehot(["joyful"], candidates="joyful, sad")[0] == "joyful"
 
 
 class TestEwMetric:
