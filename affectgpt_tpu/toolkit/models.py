@@ -38,6 +38,9 @@ class FusionArgs:
     num_heads: int = 4  # MULT heads
     num_layers: int = 2  # MULT layers
     feat_type: str = "utt"  # utt | frm_align | frm_unalign
+    # Attention_TOPN stream dims (reference stores the list in args.audio_dim,
+    # attention_topn.py:13); empty → the standard (audio, text, video) triple.
+    feat_dims: Tuple[int, ...] = ()
 
     @classmethod
     def tiny(cls):
@@ -673,8 +676,55 @@ class MFM:
         return shared, emos, vals, recon
 
 
+# -- Attention_TOPN: N-stream attention fusion (attention_topn.py:8-92) ---------
+
+
+@registry.register_model("toolkit_attention_topn")
+class AttentionTopN:
+    """Attention fusion over N feature streams (reference
+    toolkit/models/attention_topn.py:8-92, used for top-N feature-set
+    selection experiments). The reference hand-unrolls encoder0..encoder17
+    as named attributes to dodge a torch ModuleList/cuda quirk; here the
+    per-stream encoders are a static-length pytree list unrolled at trace
+    time — the asserted cap of 18 streams (attention_topn.py:26) is kept
+    as the documented envelope but not needed for correctness."""
+
+    @staticmethod
+    def _dims(args: FusionArgs) -> Tuple[int, ...]:
+        return tuple(args.feat_dims) or (args.audio_dim, args.text_dim, args.video_dim)
+
+    @staticmethod
+    def init(rng, args: FusionArgs):
+        dims = AttentionTopN._dims(args)
+        assert len(dims) <= 18, "reference supports at most 18 streams"
+        keys = jax.random.split(rng, len(dims) + 3)
+        n = len(dims)
+        return {
+            "encoders": [mlp_encoder_init(keys[i], d, args.hidden_dim)
+                         for i, d in enumerate(dims)],
+            "attention_mlp": mlp_encoder_init(keys[n], args.hidden_dim * n, args.hidden_dim),
+            "fc_att": nn.dense_init(keys[n + 1], args.hidden_dim, n),
+            "heads": _heads_init(keys[n + 2], args.hidden_dim, args),
+        }
+
+    @staticmethod
+    def apply(params, args: FusionArgs, batch) -> Tuple:
+        if "feat0" in batch:
+            streams = [batch[f"feat{i}"] for i in range(len(params["encoders"]))]
+        else:  # standard trainer batches: the 3-stream special case
+            streams = [batch["audios"], batch["texts"], batch["videos"]]
+        hiddens = [mlp_encoder(p, x) for p, x in zip(params["encoders"], streams)]
+        concat = jnp.concatenate(hiddens, axis=1)
+        gate = nn.dense(params["fc_att"], mlp_encoder(params["attention_mlp"], concat))
+        stacked = jnp.stack(hiddens, axis=2)  # [b, h, n]
+        feats = jnp.einsum("bhm,bm->bh", stacked, gate)
+        emos, vals = _heads(params["heads"], feats)
+        return feats, emos, vals, jnp.zeros(())
+
+
 FUSION_MODELS: Dict[str, type] = {
     "attention": AttentionFusion,
+    "attention_topn": AttentionTopN,
     "tfn": TFN,
     "lmf": LMF,
     "lf_dnn": LFDNN,

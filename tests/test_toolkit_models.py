@@ -100,3 +100,42 @@ def test_sequence_fusion_models(name):
     assert emos.shape == (4, ARGS.output_dim1)
     assert float(inter) >= 0
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_attention_topn_nstream():
+    """N-stream Attention_TOPN: 5 streams of differing dims via feat{i} keys
+    (reference attention_topn.py feeds batch['feat0']..['featN'])."""
+    from dataclasses import replace
+    from affectgpt_tpu.toolkit.models import FUSION_MODELS
+
+    dims = (10, 12, 8, 6, 14)
+    args = replace(ARGS, feat_dims=dims)
+    model = FUSION_MODELS["attention_topn"]
+    params = model.init(jax.random.PRNGKey(0), args)
+    assert len(params["encoders"]) == 5
+
+    rng = np.random.RandomState(1)
+    batch = {f"feat{i}": jnp.asarray(rng.randn(4, d), jnp.float32)
+             for i, d in enumerate(dims)}
+    feats, emos, vals, inter = jax.jit(
+        lambda p, b: model.apply(p, args, b))(params, batch)
+    assert feats.shape == (4, args.hidden_dim)
+    assert emos.shape == (4, args.output_dim1)
+    assert np.isfinite(np.asarray(emos)).all()
+
+    # gradients reach every per-stream encoder
+    def loss(p):
+        _, e, _, _ = model.apply(p, args, batch)
+        return jnp.sum(e ** 2)
+
+    grads = jax.grad(loss)(params)
+    for g in grads["encoders"]:
+        assert float(jnp.abs(g["fc1"]["w"]).sum()) > 0
+
+
+def test_attention_topn_cap():
+    from dataclasses import replace
+    from affectgpt_tpu.toolkit.models import FUSION_MODELS
+    with pytest.raises(AssertionError):
+        FUSION_MODELS["attention_topn"].init(
+            jax.random.PRNGKey(0), replace(ARGS, feat_dims=(4,) * 19))
