@@ -70,6 +70,15 @@ class Chat:
     cfg: affectgpt.AffectGPTConfig
     tokenizer: "object"
     max_len: int = 2048
+    # "int8" → quantized KV cache (qwen2.init_cache): halves decode-phase
+    # cache reads / doubles max_len capacity per HBM byte. None = bf16.
+    kv_cache_dtype: Optional[str] = None
+
+    def __post_init__(self):
+        if self.kv_cache_dtype not in (None, "int8"):
+            raise ValueError(
+                f"kv_cache_dtype must be None or 'int8', got {self.kv_cache_dtype!r}"
+            )
 
     def build_prompt_batch(
         self,
@@ -153,6 +162,7 @@ class Chat:
             self.frozen, self.trainable, self.cfg, gcfg,
             jnp.asarray(ids), {m: jnp.asarray(v) for m, v in offsets.items()},
             features, jnp.asarray(lengths), rng, max_len,
+            jnp.int8 if self.kv_cache_dtype == "int8" else None,
         )
         tokens = np.asarray(tokens)
         num_valid = np.asarray(num_valid)
@@ -163,10 +173,11 @@ class Chat:
         return outputs
 
 
-@partial(jax.jit, static_argnames=("cfg", "gcfg", "max_len"))
-def _answer_jit(frozen, trainable, cfg, gcfg, input_ids, offsets, features, lengths, rng, max_len):
+@partial(jax.jit, static_argnames=("cfg", "gcfg", "max_len", "cache_dtype"))
+def _answer_jit(frozen, trainable, cfg, gcfg, input_ids, offsets, features, lengths, rng, max_len,
+                cache_dtype=None):
     embeds = affectgpt.build_inputs_embeds(frozen, trainable, cfg, input_ids, features, offsets)
     return gen.generate(
         frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
-        max_len=max_len, lora=trainable["lora"],
+        max_len=max_len, lora=trainable["lora"], cache_dtype=cache_dtype,
     )

@@ -64,7 +64,7 @@ def _left_pack(x: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("llm_cfg", "gen_cfg", "max_len"),
+    static_argnames=("llm_cfg", "gen_cfg", "max_len", "cache_dtype"),
 )
 def generate(
     frozen_llm: dict,
@@ -76,6 +76,7 @@ def generate(
     max_len: int,
     lora: Optional[dict] = None,
     decode_llm: Optional[dict] = None,
+    cache_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate continuations for a batch of spliced prompt embeddings.
 
@@ -86,6 +87,9 @@ def generate(
     bf16 prefill (compute-bound, MXU wants bf16) with int8 decode
     (weight-bandwidth-bound, halves the per-step HBM read). Costs one
     extra resident copy of the decoder weights.
+    cache_dtype: KV-cache dtype override; jnp.int8 selects the quantized
+    cache (per-row scales, half the decode cache read — see
+    qwen2.init_cache). Default: the prompt embedding dtype.
     Returns (tokens [b, max_new_tokens], num_valid [b]) where tokens after
     the stop position are pad (eos).
     """
@@ -99,7 +103,7 @@ def generate(
     positions = jnp.maximum(jnp.arange(t_pad)[None, :] - pad_len[:, None], 0)
 
     # ---- prefill ----
-    cache = qwen2.init_cache(llm_cfg, b, max_len, dtype=embeds.dtype)
+    cache = qwen2.init_cache(llm_cfg, b, max_len, dtype=cache_dtype or embeds.dtype)
     causal = jnp.arange(max_len)[None, None, :] <= jnp.arange(t_pad)[None, :, None]
     key_valid_full = jnp.pad(key_valid, ((0, 0), (0, max_len - t_pad)))
     prefill_mask = causal & key_valid_full[:, None, :]

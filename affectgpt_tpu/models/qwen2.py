@@ -203,6 +203,15 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 DECODE_ATTENTION = "xla"
 
 
+def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-row int8 quantization over the trailing (head_dim) axis.
+    Returns (int8 values, float32 scale [..., 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale, 1e-20))
+    return q.astype(jnp.int8), scale
+
+
 def _attention(
     layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray, positions: jnp.ndarray,
     mask: jnp.ndarray, cache: Optional[dict], cache_index: Optional[jnp.ndarray],
@@ -226,26 +235,45 @@ def _attention(
     v = v.transpose(0, 2, 1, 3)
 
     new_cache = None
+    kv_quant = cache is not None and cache["k"].dtype == jnp.int8
+    k_scale = v_scale = None
     if cache is not None:
         # decode: write new k/v at cache_index, attend over the whole cache.
         # cache_index is a scalar (shared column — the generate() fast path)
         # or a per-row [b] array (continuous-batching server).
+        if kv_quant:
+            # int8 KV cache: per-(token,head) symmetric quantization. Halves
+            # the decode-phase cache read (the #2 HBM stream after weights)
+            # and doubles cache capacity; dequantization is folded into the
+            # attention math below, never materialized.
+            (k, k_s), (v, v_s) = _quantize_kv(k), _quantize_kv(v)
+            writes = [("k", k), ("k_scale", k_s), ("v", v), ("v_scale", v_s)]
+        else:
+            writes = [("k", k), ("v", v)]
         if getattr(cache_index, "ndim", 0) == 1:
             def write_row(buf, new, idx):
                 return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=1)
 
-            k_cache = jax.vmap(write_row)(cache["k"], k, cache_index)
-            v_cache = jax.vmap(write_row)(cache["v"], v, cache_index)
+            new_cache = {
+                name: jax.vmap(write_row)(cache[name], new, cache_index)
+                for name, new in writes
+            }
         else:
-            k_cache = jax.lax.dynamic_update_slice_in_dim(cache["k"], k, cache_index, axis=2)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(cache["v"], v, cache_index, axis=2)
-        new_cache = {"k": k_cache, "v": v_cache}
-        k, v = k_cache, v_cache
+            new_cache = {
+                name: jax.lax.dynamic_update_slice_in_dim(cache[name], new, cache_index, axis=2)
+                for name, new in writes
+            }
+        k, v = new_cache["k"], new_cache["v"]
+        if kv_quant:
+            # [b, h, max_len, 1] → [b, h, max_len]
+            k_scale = new_cache["k_scale"][..., 0]
+            v_scale = new_cache["v_scale"][..., 0]
 
     groups = cfg.num_heads // cfg.num_kv_heads
     if (
         DECODE_ATTENTION == "pallas"
         and cache is not None
+        and not kv_quant
         and t == 1
         and jax.default_backend() == "tpu"
     ):
@@ -263,15 +291,27 @@ def _attention(
     # would read+write the full repeated cache every decode step — the
     # dominant HBM cost at large batch).
     qg = q.reshape(b, t, cfg.num_kv_heads, groups, cfg.head_dim)
+    if kv_quant:
+        # HBM reads stay int8; convert in-register for the dot, then apply
+        # the per-key-row scales OUTSIDE the contractions:
+        #   q·(k_int8·s_k) == (q·k_int8)·s_k      (s_k constant over head_dim)
+        #   Σ_k p_k·(v_int8_k·s_v_k) == Σ_k (p_k·s_v_k)·v_int8_k
+        k = k.astype(qg.dtype)
+        v = v.astype(qg.dtype)
     if jax.default_backend() == "cpu" and k.dtype == jnp.bfloat16:
         # the CPU backend cannot execute a bf16×bf16→f32 dot for this
         # contraction pattern (TPU MXU handles it natively)
         qg, k, v = (a.astype(jnp.float32) for a in (qg, k, v))
     logits = jnp.einsum("bqhgd,bhkd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    if kv_quant:
+        logits = logits * k_scale[:, :, None, None, :]
     logits = logits / jnp.sqrt(float(cfg.head_dim))
     mask5 = mask[:, :, None, :, :] if mask.ndim == 4 else mask
     logits = jnp.where(mask5, logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if kv_quant:
+        probs = probs * v_scale[:, :, None, None, :]
+    probs = probs.astype(v.dtype)
     out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, cfg.num_heads * cfg.head_dim)
     return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
@@ -363,14 +403,24 @@ def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
 def init_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> list:
     """KV cache in [b, kv_heads, max_len, head_dim] layout (time on the
     sublane-adjacent axis): decode attention contracts head_dim with batch
-    dims (b, h) leading on both operands — no per-step cache transpose."""
-    return [
-        {
-            "k": jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype=dtype),
-            "v": jnp.zeros((batch, cfg.num_kv_heads, max_len, cfg.head_dim), dtype=dtype),
-        }
-        for _ in range(cfg.num_layers)
-    ]
+    dims (b, h) leading on both operands — no per-step cache transpose.
+
+    dtype=jnp.int8 selects the quantized cache: int8 values plus per-row
+    float32 scales ("k_scale"/"v_scale", [b, kv, max_len, 1]). Halves the
+    decode-phase cache HBM read and doubles the token capacity per byte;
+    dequantization is folded into the attention einsums in _attention."""
+    shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
+
+    def layer_buf():
+        # fresh arrays per layer: callers (inference/server.py) donate the
+        # cache into jitted updates, and XLA rejects aliased donated buffers
+        buf = {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+        if dtype == jnp.int8:
+            buf["k_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+            buf["v_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+        return buf
+
+    return [layer_buf() for _ in range(cfg.num_layers)]
 
 
 def cross_entropy_loss(

@@ -132,7 +132,8 @@ def main() -> None:
             checkpoint.apply_checkpoint_overlays(trainable, ckpt_path)
             if ckpt_path else trainable
         )
-        chat = Chat(frozen, epoch_trainable, model_cfg, tokenizer)
+        chat = Chat(frozen, epoch_trainable, model_cfg, tokenizer,
+                    kv_cache_dtype=inference_cfg.get("kv_cache_dtype"))
         run_datasets(
             args, cfg, chat, frozen, model_cfg, tokenizer, datasets, face_or_frame,
             user_message, result_root, str(epoch), data_model_cfg,

@@ -44,6 +44,24 @@ class TestChat:
         assert len(outputs) == 2
         assert all(isinstance(o, str) for o in outputs)
 
+    def test_answer_batch_int8_kv_cache(self):
+        """kv_cache_dtype='int8' (YAML inference.kv_cache_dtype) produces
+        the same greedy answers as the fp cache on the tiny model."""
+        features = {
+            "face": jnp.asarray(np.random.RandomState(0).randn(2, 8, CFG.visual_dim), jnp.float32),
+            "audio": jnp.asarray(np.random.RandomState(1).randn(2, 8, CFG.acoustic_dim), jnp.float32),
+        }
+        kwargs = dict(max_new_tokens=6, do_sample=False)
+        ref = self.make_chat().answer_batch(
+            "multiface_audio_face_text", ["sub one", "sub two"], "Describe.",
+            features, **kwargs)
+        chat8 = Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024,
+                     kv_cache_dtype="int8")
+        got = chat8.answer_batch(
+            "multiface_audio_face_text", ["sub one", "sub two"], "Describe.",
+            features, **kwargs)
+        assert got == ref
+
 
 class TestEncodeMedia:
     def test_realtime_encode_shapes(self):

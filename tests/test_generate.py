@@ -95,3 +95,76 @@ class TestGenerate:
     def test_trim_output_text(self):
         assert gen.trim_output_text("happy, sad###Human: more") == "happy, sad"
         assert gen.trim_output_text("Assistant: joy</s>") == "joy"
+
+
+class TestInt8KVCache:
+    """int8 quantized KV cache (qwen2.init_cache dtype=int8): decode parity
+    vs the bf16/f32 cache and the quantizer contract."""
+
+    def test_quantize_roundtrip(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 5, 64))
+        q, s = qwen2._quantize_kv(x)
+        assert q.dtype == jnp.int8 and s.dtype == jnp.float32
+        recon = q.astype(jnp.float32) * s
+        err = np.abs(np.asarray(recon - x))
+        amax = np.abs(np.asarray(x)).max(-1, keepdims=True)
+        assert (err <= amax / 127.0 * 0.5 + 1e-7).all()  # half-ULP rounding
+
+    def test_zero_rows(self):
+        q, s = qwen2._quantize_kv(jnp.zeros((1, 1, 2, 8)))
+        assert np.asarray(q).sum() == 0 and np.isfinite(np.asarray(s)).all()
+
+    def test_greedy_tokens_match_fp_cache(self):
+        gcfg = gen.GenerateConfig(max_new_tokens=6, do_sample=False, eos_token_id=257)
+        ids = jax.random.randint(jax.random.PRNGKey(7), (2, 5), 0, CFG.vocab_size)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+        lengths = jnp.array([5, 3])
+        ref, _ = gen.generate(
+            PARAMS, CFG, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
+        )
+        got, _ = gen.generate(
+            PARAMS, CFG, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
+            cache_dtype=jnp.int8,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_decode_step_logits_close(self):
+        """One prefill + one decode step: int8-cache logits within int8
+        quantization error of the fp-cache logits."""
+        b, t, max_len = 2, 4, 8
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(1), (b, t, CFG.hidden_size), jnp.float32)
+        mask = (jnp.arange(max_len)[None, None, :] <= jnp.arange(t)[None, :, None])
+        mask = jnp.broadcast_to(mask, (b, t, max_len))
+        outs = {}
+        for dtype in (jnp.float32, jnp.int8):
+            cache = qwen2.init_cache(CFG, b, max_len, dtype=dtype)
+            logits, cache = qwen2.forward(
+                PARAMS, CFG, embeds, mask, cache=cache, cache_index=jnp.int32(0))
+            step_mask = (jnp.arange(max_len)[None, None, :] <= t)
+            step_mask = jnp.broadcast_to(step_mask, (b, 1, max_len))
+            step_emb = jax.random.normal(
+                jax.random.PRNGKey(2), (b, 1, CFG.hidden_size), jnp.float32)
+            logits_d, _ = qwen2.forward(
+                PARAMS, CFG, step_emb, step_mask,
+                positions=jnp.full((b, 1), t), cache=cache, cache_index=jnp.int32(t))
+            outs[np.dtype(dtype).name] = np.asarray(logits_d[:, 0])
+        ref, got = outs["float32"], outs["int8"]
+        denom = np.abs(ref).max()
+        assert np.abs(got - ref).max() / denom < 0.05, np.abs(got - ref).max()
+
+    def test_per_row_write_index(self):
+        """Per-row cache_index (continuous-batching path) works with the
+        quantized cache."""
+        b, max_len = 2, 8
+        cache = qwen2.init_cache(CFG, b, max_len, dtype=jnp.int8)
+        emb = jax.random.normal(jax.random.PRNGKey(3), (b, 1, CFG.hidden_size), jnp.float32)
+        mask = jnp.ones((b, 1, max_len), bool)
+        idx = jnp.array([2, 5], jnp.int32)
+        logits, new_cache = qwen2.forward(
+            PARAMS, CFG, emb, mask,
+            positions=jnp.array([[2], [5]]), cache=cache, cache_index=idx)
+        k = np.asarray(new_cache[0]["k"])
+        assert np.abs(k[0, :, 2]).sum() > 0 and np.abs(k[1, :, 5]).sum() > 0
+        assert np.abs(k[0, :, 5]).sum() == 0 and np.abs(k[1, :, 2]).sum() == 0
+        assert np.isfinite(np.asarray(logits)).all()
