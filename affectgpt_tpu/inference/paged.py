@@ -43,12 +43,21 @@ class PagedConfig:
 
 
 def init_paged_cache(llm_cfg: qwen2.QwenConfig, pcfg: PagedConfig, dtype=jnp.bfloat16):
-    """Per-layer block pools: [num_blocks, block_size, kv_heads, head_dim]."""
-    shape = (pcfg.num_blocks, pcfg.block_size, llm_cfg.num_kv_heads, llm_cfg.head_dim)
-    return [
-        {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
-        for _ in range(llm_cfg.num_layers)
-    ]
+    """Per-layer block pools: [num_blocks, block_size, kv_heads, head_dim].
+
+    dtype=jnp.int8 selects the quantized pool (per-token/head fp32 scales in
+    "k_scale"/"v_scale" side pools, mirroring qwen2.init_cache): 2× the
+    tokens-in-flight per HBM byte and half the decode-phase page reads."""
+
+    def layer_buf():  # fresh arrays per layer (donation-safe)
+        shape = (pcfg.num_blocks, pcfg.block_size, llm_cfg.num_kv_heads, llm_cfg.head_dim)
+        buf = {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
+        if dtype == jnp.int8:
+            buf["k_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+            buf["v_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+        return buf
+
+    return [layer_buf() for _ in range(llm_cfg.num_layers)]
 
 
 class BlockAllocator:
@@ -75,28 +84,43 @@ class BlockAllocator:
         self.free.extend(b for b in table if b != 0)
 
 
-@partial(jax.jit, donate_argnames=("pool_k", "pool_v"))
-def paged_write(pool_k, pool_v, k_new, v_new, block_ids, offsets):
-    """Write one token per sequence into the pools.
-    k_new/v_new [b, kv, d]; block_ids/offsets [b]."""
-    return (
-        pool_k.at[block_ids, offsets].set(k_new.astype(pool_k.dtype)),
-        pool_v.at[block_ids, offsets].set(v_new.astype(pool_v.dtype)),
-    )
+@partial(jax.jit, donate_argnames=("pool",))
+def paged_write(pool: dict, k_new, v_new, block_ids, offsets) -> dict:
+    """Write one token per sequence into a layer pool dict.
+    k_new/v_new [b, kv, d]; block_ids/offsets [b]. int8 pools quantize on
+    write (per-row scales into the side pools)."""
+    if pool["k"].dtype == jnp.int8:
+        (k_q, k_s) = qwen2._quantize_kv(k_new)
+        (v_q, v_s) = qwen2._quantize_kv(v_new)
+        return {
+            "k": pool["k"].at[block_ids, offsets].set(k_q),
+            "v": pool["v"].at[block_ids, offsets].set(v_q),
+            "k_scale": pool["k_scale"].at[block_ids, offsets].set(k_s),
+            "v_scale": pool["v_scale"].at[block_ids, offsets].set(v_s),
+        }
+    return {
+        "k": pool["k"].at[block_ids, offsets].set(k_new.astype(pool["k"].dtype)),
+        "v": pool["v"].at[block_ids, offsets].set(v_new.astype(pool["v"].dtype)),
+    }
 
 
 def paged_attention_auto(
-    q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads: int
+    q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads: int,
+    k_scale=None, v_scale=None,
 ) -> jnp.ndarray:
     """Dispatch: Pallas kernel on TPU (double-buffered page DMA via
-    scalar-prefetched block tables), XLA gather elsewhere."""
-    if jax.default_backend() == "tpu":
+    scalar-prefetched block tables), XLA gather elsewhere. Quantized pools
+    (scales given) always take the XLA path — the Pallas kernel streams
+    bf16 pages."""
+    if jax.default_backend() == "tpu" and k_scale is None:
         from affectgpt_tpu.ops.paged_attention_pallas import paged_attention_pallas
 
         return paged_attention_pallas(
             q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads
         )
-    return paged_attention(q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads)
+    return paged_attention(
+        q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads, k_scale, v_scale
+    )
 
 
 def paged_attention(
@@ -106,9 +130,12 @@ def paged_attention(
     block_tables: jnp.ndarray,  # [b, max_blocks_per_seq] int32
     seq_lens: jnp.ndarray,  # [b] tokens valid per sequence
     num_kv_heads: int,
+    k_scale=None,  # int8 pools: [blocks, block, kv, 1] fp32
+    v_scale=None,
 ) -> jnp.ndarray:
     """GQA attention over paged K/V (XLA gather reference). Returns
-    [b, heads, d]."""
+    [b, heads, d]. int8 pools: scales applied outside the contractions
+    (same identities as qwen2._attention)."""
     b, heads, d = q.shape
     groups = heads // num_kv_heads
     # gather pages: [b, nblk, blk, kv, d]
@@ -117,13 +144,23 @@ def paged_attention(
     nblk, blk = k.shape[1], k.shape[2]
     k = k.reshape(b, nblk * blk, num_kv_heads, d)
     v = v.reshape(b, nblk * blk, num_kv_heads, d)
+    if k_scale is not None:
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+        ks = k_scale[block_tables].reshape(b, nblk * blk, num_kv_heads)
+        vs = v_scale[block_tables].reshape(b, nblk * blk, num_kv_heads)
 
     qg = q.reshape(b, num_kv_heads, groups, d)
     logits = jnp.einsum("bhgd,bkhd->bhgk", qg, k, preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        logits = logits * ks.transpose(0, 2, 1)[:, :, None, :]
     logits = logits / jnp.sqrt(float(d))
     valid = jnp.arange(nblk * blk)[None, :] < seq_lens[:, None]  # [b, T]
     logits = jnp.where(valid[:, None, None, :], logits, jnp.finfo(jnp.float32).min)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        probs = probs * vs.transpose(0, 2, 1)[:, :, None, :]
+    probs = probs.astype(v.dtype)
     out = jnp.einsum("bhgk,bkhd->bhgd", probs, v, preferred_element_type=jnp.float32)
     return out.reshape(b, heads, d)
 
@@ -141,7 +178,10 @@ def paged_decode_step(
     """One decode step over the paged cache for all sequences.
     Returns (logits [b, vocab], updated pools)."""
     scaling = llm_cfg.lora_alpha / llm_cfg.lora_r
-    x = qwen2.embed_tokens(frozen_llm, tokens)[:, None, :].astype(pools[0]["k"].dtype)
+    compute_dtype = pools[0]["k"].dtype
+    if compute_dtype == jnp.int8:  # quantized pool: activations stay at weight dtype
+        compute_dtype = frozen_llm["embed_tokens"]["table"].dtype
+    x = qwen2.embed_tokens(frozen_llm, tokens)[:, None, :].astype(compute_dtype)
     b = x.shape[0]
     block_idx = positions // pcfg.block_size
     block_ids = jnp.take_along_axis(block_tables, block_idx[:, None], axis=1)[:, 0]
@@ -168,13 +208,13 @@ def paged_decode_step(
         pos2 = positions[:, None]
         q = _rope(q, pos2, llm_cfg.rope_theta)[:, 0]
         k = _rope(k, pos2, llm_cfg.rope_theta)[:, 0]
-        pool_k, pool_v = paged_write(
-            pools[i]["k"], pools[i]["v"], k, v[:, 0], block_ids, offsets
-        )
-        new_pools.append({"k": pool_k, "v": pool_v})
+        new_pool = paged_write(pools[i], k, v[:, 0], block_ids, offsets)
+        new_pools.append(new_pool)
         attn = paged_attention_auto(
-            q.reshape(b, llm_cfg.num_heads, llm_cfg.head_dim), pool_k, pool_v,
+            q.reshape(b, llm_cfg.num_heads, llm_cfg.head_dim),
+            new_pool["k"], new_pool["v"],
             block_tables, seq_lens, llm_cfg.num_kv_heads,
+            k_scale=new_pool.get("k_scale"), v_scale=new_pool.get("v_scale"),
         ).reshape(b, 1, llm_cfg.num_heads * llm_cfg.head_dim)
         attn = _lora_dense(layer["o_proj"], lget("o_proj"), attn, scaling, has_bias=False)
         x = x + attn
@@ -377,11 +417,12 @@ def prefill_batch_into_pages(
 
     new_pools = []
     for i, layer_cache in enumerate(cache):
+        # int8 pools: the dense prefill cache is already quantized (same
+        # dtype), so the per-row scales scatter alongside the values
         new_pools.append({
-            "k": pools[i]["k"].at[ids].set(
-                unshift_pages(layer_cache["k"]).astype(pools[i]["k"].dtype)),
-            "v": pools[i]["v"].at[ids].set(
-                unshift_pages(layer_cache["v"]).astype(pools[i]["v"].dtype)),
+            name: pools[i][name].at[ids].set(
+                unshift_pages(layer_cache[name]).astype(pools[i][name].dtype))
+            for name in pools[i]
         })
     return logits[:, -1], new_pools
 
@@ -425,18 +466,18 @@ def prefill_into_pages(
     n_blocks = -(-t_pad // pcfg.block_size)
     scatter_t = n_blocks * pcfg.block_size
     ids = jnp.asarray(block_table[:n_blocks])
-    new_pools = []
-    for i, layer_cache in enumerate(cache):
+    def unshift(buf):
         # unshift: token 0 back to column 0, then split into pages
         # (dense cache is [1, kv, T, d]; pools keep time-major [.., block, kv, d])
-        k = jnp.roll(layer_cache["k"][0].transpose(1, 0, 2), -pad, axis=0)
-        v = jnp.roll(layer_cache["v"][0].transpose(1, 0, 2), -pad, axis=0)
-        k = jnp.pad(k, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
-        k = k.reshape(n_blocks, pcfg.block_size, *k.shape[1:])
-        v = v.reshape(n_blocks, pcfg.block_size, *v.shape[1:])
+        x = jnp.roll(buf[0].transpose(1, 0, 2), -pad, axis=0)
+        x = jnp.pad(x, ((0, scatter_t - t_pad), (0, 0), (0, 0)))
+        return x.reshape(n_blocks, pcfg.block_size, *x.shape[1:])
+
+    new_pools = []
+    for i, layer_cache in enumerate(cache):
         new_pools.append({
-            "k": pools[i]["k"].at[ids].set(k.astype(pools[i]["k"].dtype)),
-            "v": pools[i]["v"].at[ids].set(v.astype(pools[i]["v"].dtype)),
+            name: pools[i][name].at[ids].set(
+                unshift(layer_cache[name]).astype(pools[i][name].dtype))
+            for name in pools[i]
         })
     return logits[0, -1], new_pools

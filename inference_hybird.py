@@ -158,10 +158,16 @@ def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stack
         num_blocks=args.paged_num_blocks,
         max_blocks_per_seq=-(-max_tokens // args.paged_block_size),
     )
+    import jax.numpy as jnp
+
+    pool_dtype = (
+        jnp.int8 if chat.kv_cache_dtype == "int8"
+        else chat.frozen["llm"]["embed_tokens"]["table"].dtype
+    )
     server = PagedBatchServer(
         chat.frozen, chat.trainable, chat.cfg, chat.tokenizer,
         pcfg=pcfg, max_slots=min(len(subtitles), 16),
-        dtype=chat.frozen["llm"]["embed_tokens"]["table"].dtype,
+        dtype=pool_dtype,
         do_sample=True, top_p=0.9, seed=seed,
     )
     for i in range(len(subtitles)):

@@ -201,3 +201,57 @@ class TestPagedBatchServer:
         assert outs[0] == outs[1]
         assert set(outs[0]) == {r.request_id for r in requests}
         assert all(0 <= t < vocab for toks in outs[0].values() for t in toks)
+
+
+class TestInt8PagedPool:
+    """int8 quantized page pool: init shapes, quantize-on-write, and greedy
+    parity with the fp pool through the full PagedBatchServer."""
+
+    def test_pool_shapes(self):
+        pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.int8)
+        p = pools[0]
+        assert p["k"].dtype == jnp.int8
+        assert p["k_scale"].shape == p["k"].shape[:3] + (1,)
+        assert p["k_scale"].dtype == jnp.float32
+
+    def test_write_quantizes(self):
+        pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.int8)
+        k_new = jax.random.normal(jax.random.PRNGKey(0), (2, CFG.num_kv_heads, CFG.head_dim))
+        v_new = jax.random.normal(jax.random.PRNGKey(1), (2, CFG.num_kv_heads, CFG.head_dim))
+        new = paged.paged_write(
+            pools[0], k_new, v_new, jnp.array([1, 2]), jnp.array([0, 3]))
+        recon = (np.asarray(new["k"][1, 0], np.float32)
+                 * np.asarray(new["k_scale"][1, 0]))
+        np.testing.assert_allclose(recon, np.asarray(k_new[0]), atol=0.02)
+
+    def test_server_greedy_matches_fp_pool(self):
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.inference.server import Request
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        tok = ByteTokenizer()
+
+        def make_req(rid, length):
+            rng = np.random.RandomState(rid)
+            ids = rng.randint(1, 250, length).astype(np.int32)
+            ids[2 : 2 + acfg.num_video_query_token] = 0
+            return Request(
+                request_id=rid, input_ids=ids,
+                features={"face": rng.randn(8, acfg.visual_dim).astype(np.float32)},
+                offsets={"face": 2}, max_new_tokens=4,
+            )
+
+        results = {}
+        for name, dtype in [("fp", jnp.float32), ("int8", jnp.int8)]:
+            server = PagedBatchServer(
+                frozen, trainable, acfg, tok,
+                pcfg=paged.PagedConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+                max_slots=3, dtype=dtype)
+            for rid, length in [(0, 9), (1, 14)]:
+                server.submit(make_req(rid, length))
+            results[name] = server.run_until_drained()
+        assert results["int8"] == results["fp"]
