@@ -168,3 +168,19 @@ class TestInt8KVCache:
         assert np.abs(k[0, :, 2]).sum() > 0 and np.abs(k[1, :, 5]).sum() > 0
         assert np.abs(k[0, :, 5]).sum() == 0 and np.abs(k[1, :, 2]).sum() == 0
         assert np.isfinite(np.asarray(logits)).all()
+
+    def test_int8_weights_plus_int8_cache_compose(self):
+        """Mixed-precision serving stack: bf16 prefill + int8 decode weights
+        (decode_llm=quantize_params) + int8 KV cache compose and match the
+        fp greedy tokens on the tiny model."""
+        q_params = qwen2.quantize_params(PARAMS)
+        gcfg = gen.GenerateConfig(max_new_tokens=5, do_sample=False, eos_token_id=257)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, CFG.vocab_size)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+        lengths = jnp.array([5, 4])
+        ref, _ = gen.generate(
+            PARAMS, CFG, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16)
+        got, _ = gen.generate(
+            PARAMS, CFG, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
+            decode_llm=q_params, cache_dtype=jnp.int8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
