@@ -19,6 +19,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -31,10 +32,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
 
-BATCH = 384
-PROMPT_LEN = 128
-NEW_TOKENS = 32
-MAX_LEN = 192
+# env overrides for sweeps (defaults are the recorded configuration)
+BATCH = int(os.environ.get("BENCH_BATCH", 384))
+PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 128))
+NEW_TOKENS = int(os.environ.get("BENCH_NEW_TOKENS", 32))
+MAX_LEN = max(int(os.environ.get("BENCH_MAX_LEN", 192)), PROMPT_LEN + NEW_TOKENS)
 
 
 def qwen_3b_config():
