@@ -240,7 +240,9 @@ class LexiconJudge:
             text = str(reason).lower()
             found = []
             for word in self.vocabulary:
-                if re.search(rf"\b{re.escape(word)}\b", text):
+                # lookarounds, not \b: \b never matches next to a non-word
+                # edge char, silently dropping terms like "happy (very)"
+                if re.search(rf"(?<!\w){re.escape(word)}(?!\w)", text):
                     found.append(word)
             out.append("[" + ", ".join(dict.fromkeys(found)) + "]")
         return out
@@ -268,7 +270,7 @@ class LexiconJudge:
         out = []
         for reason in reasons:
             text = str(reason).lower()
-            hits = [c for c in cand if re.search(rf"\b{re.escape(c)}\b", text)]
+            hits = [c for c in cand if re.search(rf"(?<!\w){re.escape(c)}(?!\w)", text)]
             out.append(", ".join(hits + [c for c in cand if c not in hits]))
         return out
 
@@ -278,6 +280,6 @@ class LexiconJudge:
         out = []
         for reason in reasons:
             text = str(reason).lower()
-            hits = [c for c in cand if re.search(rf"\b{re.escape(c)}\b", text)]
+            hits = [c for c in cand if re.search(rf"(?<!\w){re.escape(c)}(?!\w)", text)]
             out.append(hits[0] if hits else "neutral")
         return out

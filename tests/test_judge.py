@@ -115,3 +115,13 @@ class TestEwMetric:
         f1, acc = ew_metric.score_dimension(str(npz), name2gt, judge)
         assert f1 == pytest.approx(1.0)
         assert acc == pytest.approx(1.0)
+
+
+def test_lexicon_nonword_edge_candidates():
+    """Candidates with non-word edge chars must still match (\\b fails on
+    them; the matcher uses lookarounds)."""
+    judge = LexiconJudge(vocabulary=["happy (very)", "sad"])
+    out = judge.reason_to_openset(["he is happy (very) today"])
+    assert out == ["[happy (very)]"]
+    one = judge.reason_to_onehot(["she is happy (very)"], candidates="happy (very), sad")
+    assert one == ["happy (very)"]
