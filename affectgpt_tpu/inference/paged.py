@@ -61,14 +61,34 @@ def init_paged_cache(llm_cfg: qwen2.QwenConfig, pcfg: PagedConfig, dtype=jnp.bfl
 
 
 class BlockAllocator:
+    """Free-list allocator with admission-time reservations: a sequence's
+    future decode blocks (up to max_new_tokens) are counted against
+    `reserved` when it is admitted, so a later admission can never starve
+    an in-flight decode (pool exhaustion mid-step would otherwise abort
+    the whole run)."""
+
     def __init__(self, pcfg: PagedConfig):
         self.pcfg = pcfg
         self.free: List[int] = list(range(pcfg.num_blocks - 1, 0, -1))
         # block 0 is reserved as the null page (block tables pad with 0)
+        self.reserved = 0
+
+    def available(self) -> int:
+        """Blocks an admission may claim (free minus outstanding reservations)."""
+        return len(self.free) - self.reserved
+
+    def reserve(self, n_blocks: int) -> None:
+        if n_blocks > self.available():
+            raise RuntimeError("paged KV pool exhausted")
+        self.reserved += n_blocks
+
+    def release(self, n_blocks: int) -> None:
+        assert n_blocks <= self.reserved
+        self.reserved -= n_blocks
 
     def allocate(self, n_tokens: int) -> List[int]:
         n_blocks = -(-n_tokens // self.pcfg.block_size)
-        if n_blocks > len(self.free):
+        if n_blocks > self.available():
             raise RuntimeError("paged KV pool exhausted")
         return [self.free.pop() for _ in range(n_blocks)]
 
@@ -225,6 +245,13 @@ def paged_decode_step(
     if llm_cfg.tie_embeddings:
         logits = jnp.dot(x, frozen_llm["embed_tokens"]["table"].T,
                          preferred_element_type=jnp.float32)
+    elif "w_q" in frozen_llm["lm_head"]:
+        # int8-quantized weights (inference_hybird --int8): lm_head is
+        # {'w_q','scales'}, route through the same dequant matmul as
+        # qwen2.forward (qwen2.py:390-393)
+        logits = _lora_dense(frozen_llm["lm_head"], None, x, 0.0, has_bias=False).astype(
+            jnp.float32
+        )
     else:
         logits = jnp.dot(x, frozen_llm["lm_head"]["w"], preferred_element_type=jnp.float32)
     return logits[:, 0], new_pools
@@ -285,8 +312,14 @@ class PagedBatchServer:
                 break
             if tuple(sorted(req.features)) != signature:
                 break
-            need = -(-len(req.input_ids) // self.pcfg.block_size) + 1
-            if blocks_needed + need > len(self.alloc.free):
+            # full-lifetime footprint: prompt + every decode token the
+            # request may emit (capped by the per-seq table size), so the
+            # pool can never run dry mid-decode
+            need = min(
+                -(-(len(req.input_ids) + req.max_new_tokens) // self.pcfg.block_size),
+                self.pcfg.max_blocks_per_seq,
+            )
+            if blocks_needed + need > self.alloc.available():
                 break
             blocks_needed += need
             batch.append(req)
@@ -299,11 +332,18 @@ class PagedBatchServer:
                        self.pcfg.max_seq_len)
         ids = np.zeros((len(batch), t_bucket), np.int32)
         lengths = np.zeros(len(batch), np.int32)
-        tables, padded_tables = [], []
+        tables, padded_tables, reserves = [], [], []
         for i, req in enumerate(batch):
             ids[i, : len(req.input_ids)] = req.input_ids
             lengths[i] = len(req.input_ids)
             table = self.alloc.allocate(len(req.input_ids))
+            total = min(
+                -(-(len(req.input_ids) + req.max_new_tokens) // self.pcfg.block_size),
+                self.pcfg.max_blocks_per_seq,
+            )
+            reserve = total - len(table)
+            self.alloc.reserve(reserve)
+            reserves.append(reserve)
             padded = np.zeros(self.pcfg.max_blocks_per_seq, np.int32)
             padded[: len(table)] = table
             tables.append(table)
@@ -327,6 +367,7 @@ class PagedBatchServer:
                 "padded": padded_tables[i], "pos": int(lengths[i]),
                 "tokens": [int(first_tokens[i])],
                 "remaining": req.max_new_tokens - 1,
+                "reserved": reserves[i],
             }
             slot_index = free[i]
             if slot["tokens"][0] == self.tokenizer.eos_token_id or slot["remaining"] <= 0:
@@ -339,6 +380,7 @@ class PagedBatchServer:
         if tokens and tokens[-1] == self.tokenizer.eos_token_id:
             tokens = tokens[:-1]
         self.results[slot["request_id"]] = tokens
+        self.alloc.release(slot.get("reserved", 0))
         self.alloc.free_table(slot["table"])
         self.slots[index] = None
 
@@ -348,7 +390,13 @@ class PagedBatchServer:
         if not live:
             return bool(self.pending)
         for _, s in live:
+            before = len(s["table"])
+            # growth comes out of this slot's admission-time reservation
+            need = -(-(s["pos"] + 1) // self.pcfg.block_size) - before
+            if need > 0:
+                self.alloc.release(min(need, s["reserved"]))
             self.alloc.extend(s["table"], s["pos"], s["pos"] + 1)
+            s["reserved"] -= len(s["table"]) - before
             s["padded"][: len(s["table"])] = s["table"]
         tokens = jnp.asarray([s["tokens"][-1] for _, s in live])
         positions = jnp.asarray([s["pos"] for _, s in live])

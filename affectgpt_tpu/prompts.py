@@ -24,6 +24,12 @@ _FACE_PART = (
     "Meanwhile, we uniformly sample raw frames from the video and extract faces "
     "from these frames: <Video><FaceHere></Video>. "
 )
+# faceframe mode alone opens the face clause with "Additionally," because it
+# follows the frame clause's "Meanwhile," (reference: base_dataset.py:812)
+_FACE_PART_ADDITIONALLY = (
+    "Additionally, we uniformly sample raw frames from the video and extract faces "
+    "from these frames: <Video><FaceHere></Video>. "
+)
 _SUBTITLE_PART = "The subtitle of this video is: <Subtitle>{subtitle}</Subtitle>. "
 _MULTI_PART = "The audio and video merged info is: <Multi><MultiHere></Multi>. "
 _NONVERBAL_PART = (
@@ -75,7 +81,7 @@ def get_prompt_for_multimodal(
         return _SUBTITLE_PART.format(subtitle=subtitle)
 
     if face_or_frame == "faceframe":
-        return "###Human: " + _AUDIO_PART + _FRAME_PART + _FACE_PART + sub() + suffix
+        return "###Human: " + _AUDIO_PART + _FRAME_PART + _FACE_PART_ADDITIONALLY + sub() + suffix
     if face_or_frame == "face":
         return "###Human: " + _AUDIO_PART + _FACE_PART + sub() + suffix
     if face_or_frame == "frame":

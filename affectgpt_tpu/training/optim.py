@@ -109,26 +109,12 @@ def freeze_mask_from_flags(trainable, model_cfg_node: dict):
 
 
 def apply_freeze_mask(tx: optax.GradientTransformation, mask) -> optax.GradientTransformation:
-    return optax.chain(_zero_frozen(mask), tx)
-
-
-def _zero_frozen(mask) -> optax.GradientTransformation:
-    """Zero gradients of frozen leaves so downstream adamw state stays inert."""
-
-    def init_fn(params):
-        del params
-        return optax.EmptyState()
-
-    def update_fn(updates, state, params=None):
-        del params
-        import jax
-
-        zeroed = jax.tree.map(
-            lambda g, keep: g if keep else jax.numpy.zeros_like(g), updates, mask
-        )
-        return zeroed, state
-
-    return optax.GradientTransformation(init_fn, update_fn)
+    """Frozen leaves receive NO update at all — including adamw's decoupled
+    weight decay, which would otherwise drift them by lr*wd*param per step.
+    Matches the reference, which excludes requires_grad=False params from
+    the optimizer entirely (runner_base.py:126)."""
+    labels = jax.tree.map(lambda keep: "train" if keep else "freeze", mask)
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
 
 
 def make_optimizer(

@@ -100,7 +100,9 @@ static bool parse_avi(const std::vector<uint8_t>& buf, AviInfo& info) {
         info.height = int(rd32(buf.data() + body + 36));
       }
     } else if (fourcc_is(hdr, "strh")) {
-      next_strf_is_video = fourcc_is(buf.data() + body, "vids");
+      // a zero-size strh at EOF passes the body+size bound check but has
+      // no fourcc to read — guard before the 4-byte read
+      next_strf_is_video = size >= 4 && fourcc_is(buf.data() + body, "vids");
       if (next_strf_is_video && video_stream < 0) {
         video_stream = stream_counter;
         want0 = char('0' + video_stream / 10);

@@ -33,6 +33,21 @@ class TestAllocator:
         except RuntimeError:
             pass
 
+    def test_reservations_block_admission(self):
+        alloc = paged.BlockAllocator(PCFG)
+        total = alloc.available()
+        alloc.reserve(total - 1)
+        assert alloc.available() == 1
+        table = alloc.allocate(PCFG.block_size)  # 1 block still allowed
+        try:
+            alloc.allocate(1)
+            assert False, "expected exhaustion: all remaining blocks reserved"
+        except RuntimeError:
+            pass
+        alloc.release(2)
+        alloc.allocate(1)
+        alloc.free_table(table)
+
 
 class TestPagedDecode:
     def test_greedy_matches_dense_generate(self):
@@ -255,3 +270,66 @@ class TestInt8PagedPool:
                 server.submit(make_req(rid, length))
             results[name] = server.run_until_drained()
         assert results["int8"] == results["fp"]
+
+
+def _make_affectgpt_req(acfg, rid, length, max_new_tokens=4):
+    from affectgpt_tpu.inference.server import Request
+
+    rng = np.random.RandomState(rid)
+    ids = rng.randint(1, 250, length).astype(np.int32)
+    ids[2 : 2 + acfg.num_video_query_token] = 0
+    return Request(
+        request_id=rid, input_ids=ids,
+        features={"face": rng.randn(8, acfg.visual_dim).astype(np.float32)},
+        offsets={"face": 2}, max_new_tokens=max_new_tokens,
+    )
+
+
+class TestInt8WeightsPaged:
+    def test_quantized_lm_head_decodes(self):
+        """--int8 (quantized weights: lm_head is {'w_q','scales'}) composed
+        with --paged must not crash and must stay close to the fp path."""
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        frozen_q = dict(frozen)
+        frozen_q["llm"] = qwen2.quantize_params(frozen["llm"])
+        assert "w_q" in frozen_q["llm"]["lm_head"]
+        tok = ByteTokenizer()
+        server = PagedBatchServer(
+            frozen_q, trainable, acfg, tok,
+            pcfg=paged.PagedConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+            max_slots=2)
+        for rid, length in [(0, 9), (1, 14)]:
+            server.submit(_make_affectgpt_req(acfg, rid, length))
+        out = server.run_until_drained()
+        assert set(out) == {0, 1}
+        assert all(0 <= t < acfg.llm.vocab_size for toks in out.values() for t in toks)
+
+
+class TestReservationPreventsMidDecodeExhaustion:
+    def test_long_generations_never_abort(self):
+        """A pool too small for every pending request at once must defer
+        admissions, never die with 'pool exhausted' mid-decode."""
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        tok = ByteTokenizer()
+        # 15 usable blocks of 4 = 60 tokens; each request needs
+        # ceil((9+20)/4)=8 blocks for its lifetime → only 1 admits at a time
+        pcfg = paged.PagedConfig(block_size=4, num_blocks=16, max_blocks_per_seq=8)
+        server = PagedBatchServer(frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=4)
+        for rid in range(4):
+            server.submit(_make_affectgpt_req(acfg, rid, 9, max_new_tokens=20))
+        out = server.run_until_drained()
+        assert set(out) == {0, 1, 2, 3}
+        assert server.alloc.reserved == 0
+        assert len(server.alloc.free) == pcfg.num_blocks - 1

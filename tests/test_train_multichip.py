@@ -79,6 +79,33 @@ class TestShardedTraining:
         # optimizing on a fixed batch must reduce the loss
         assert losses[-1] < losses[0]
 
+    def test_frozen_leaves_do_not_drift(self, eight_devices):
+        # frozen_llm must freeze LoRA bit-exactly — including adamw weight
+        # decay, which used to leak lr*wd*param into "frozen" leaves.
+        cfg = affectgpt.AffectGPTConfig.tiny()
+        mesh = mesh_lib.create_mesh(eight_devices, tp=1)
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg)
+        schedule = optim.linear_warmup_cosine_lr(1e-2, 1e-5, 0, 10)
+        tx = optim.make_optimizer(schedule, weight_decay=0.05)
+        mask = optim.freeze_mask_from_flags(trainable, {"frozen_llm": True})
+        tx = optim.apply_freeze_mask(tx, mask)
+        state = train_step.create_train_state(trainable, tx)
+        state = train_step.shard_state(mesh, state)
+        frozen_sharded = mesh_lib.shard_params(mesh, frozen)
+        batch = jax.device_put(
+            make_batch(cfg), jax.tree.map(lambda _: mesh_lib.batch_sharding(mesh), make_batch(cfg)),
+        )
+        step_fn = train_step.compile_train_step(mesh, cfg, tx, state, frozen_sharded)
+        lora_before = jax.device_get(state.trainable["lora"])
+        merger_before = np.asarray(jax.device_get(state.trainable["mergers"]["audio"]["proj"]["w"]))
+        for _ in range(2):
+            state, _ = step_fn(state, frozen_sharded, batch)
+        lora_after = jax.device_get(state.trainable["lora"])
+        jax.tree.map(np.testing.assert_array_equal, lora_before, lora_after)
+        merger_after = np.asarray(jax.device_get(state.trainable["mergers"]["audio"]["proj"]["w"]))
+        assert not np.array_equal(merger_before, merger_after)
+
     def test_grad_accumulation(self, eight_devices):
         cfg = affectgpt.AffectGPTConfig.tiny()
         mesh = mesh_lib.create_mesh(eight_devices, tp=1)
