@@ -78,10 +78,15 @@ class AffectGPTConfig:
         )
         presets = {
             "Qwen25": qwen2.QwenConfig.qwen25_7b,
+            # real Qwen2.5-3B ties its embeddings (HF config
+            # tie_word_embeddings=true) — without this the preset would
+            # mis-load a real 3B checkpoint (no lm_head tensor exists)
             "Qwen25_3B": lambda **kw: qwen2.QwenConfig(
                 vocab_size=151936, hidden_size=2048, intermediate_size=11008,
-                num_layers=36, num_heads=16, num_kv_heads=2, head_dim=128, **kw,
+                num_layers=36, num_heads=16, num_kv_heads=2, head_dim=128,
+                tie_embeddings=True, **kw,
             ),
+            "Llama2": qwen2.QwenConfig.llama2_7b,
             "tiny": qwen2.QwenConfig.tiny,
         }
         llm_kwargs = {}

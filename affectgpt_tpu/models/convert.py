@@ -94,6 +94,43 @@ def convert_qwen2(model_dir: str, dtype=np.float32) -> dict:
     return cast(params)
 
 
+# HF LlamaForCausalLM uses the same state-dict names as Qwen2 (q/k/v simply
+# carry no bias tensors, which `_dense` already treats as optional), so the
+# same mapping loads the reference's alternate LLM family
+# (reference: my_affectgpt/models/affectgpt.py:92-133 loads Qwen2.5/Llama-2/
+# Baichuan2 via AutoModelForCausalLM).
+convert_llama = convert_qwen2
+
+
+def llm_config_from_hf(model_dir: str, lora_r: int = 16):
+    """Build a qwen2.QwenConfig from an HF checkpoint's config.json —
+    covers Qwen2/2.5 and Llama-2 geometries (vocab, dims, GQA heads,
+    rope theta, rms eps, tied embeddings, qkv bias)."""
+    import json
+
+    from affectgpt_tpu.models import qwen2
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    arch = (hf.get("architectures") or [""])[0]
+    is_llama = "Llama" in arch
+    heads = int(hf["num_attention_heads"])
+    return qwen2.QwenConfig(
+        vocab_size=int(hf["vocab_size"]),
+        hidden_size=int(hf["hidden_size"]),
+        intermediate_size=int(hf["intermediate_size"]),
+        num_layers=int(hf["num_hidden_layers"]),
+        num_heads=heads,
+        num_kv_heads=int(hf.get("num_key_value_heads", heads)),
+        head_dim=int(hf.get("head_dim", hf["hidden_size"] // heads)),
+        rope_theta=float(hf.get("rope_theta", 10_000.0)),
+        rms_eps=float(hf.get("rms_norm_eps", 1e-6)),
+        tie_embeddings=bool(hf.get("tie_word_embeddings", False)),
+        qkv_bias=bool(hf.get("attention_bias", not is_llama)),
+        lora_r=lora_r,
+    )
+
+
 def convert_clip_vision(model_dir: str, dtype=np.float32) -> dict:
     """HF CLIPModel vision tower + visual_projection → clip_vit layout."""
     state = _load_torch_state(model_dir)

@@ -42,6 +42,7 @@ class QwenConfig:
     rope_theta: float = 1_000_000.0
     rms_eps: float = 1e-6
     tie_embeddings: bool = False
+    qkv_bias: bool = True  # Qwen2 has q/k/v biases; Llama-family has none
     lora_r: int = 16
     lora_alpha: float = 32.0
 
@@ -49,6 +50,17 @@ class QwenConfig:
     def qwen25_7b(cls, vocab_size: int = 152064, lora_r: int = 16):
         """Qwen2.5-7B-Instruct geometry (the reference's production LLM)."""
         return cls(vocab_size=vocab_size, lora_r=lora_r)
+
+    @classmethod
+    def llama2_7b(cls, vocab_size: int = 32000, lora_r: int = 16):
+        """Llama-2-7B geometry — the reference's alternate LLM family
+        (reference: my_affectgpt/models/affectgpt.py:92-133, PATH_TO_LLM
+        'Llama2'). MHA (kv=heads), no qkv bias, rope 10k, eps 1e-5."""
+        return cls(
+            vocab_size=vocab_size, hidden_size=4096, intermediate_size=11008,
+            num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+            rope_theta=10_000.0, rms_eps=1e-5, qkv_bias=False, lora_r=lora_r,
+        )
 
     @classmethod
     def tiny(cls, vocab_size: int = 300, lora_r: int = 2):
@@ -78,13 +90,14 @@ def init_params(rng: jax.Array, cfg: QwenConfig, dtype=jnp.bfloat16) -> dict:
     n_q_dim = cfg.num_heads * cfg.head_dim
     keys = jax.random.split(rng, cfg.num_layers + 3)
     layers = []
+    qkv_init = nn.dense_init if cfg.qkv_bias else nn.dense_nobias_init
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[i], 7)
         layers.append(
             {
-                "q_proj": nn.dense_init(k[0], cfg.hidden_size, n_q_dim, dtype=dtype),
-                "k_proj": nn.dense_init(k[1], cfg.hidden_size, n_kv_dim, dtype=dtype),
-                "v_proj": nn.dense_init(k[2], cfg.hidden_size, n_kv_dim, dtype=dtype),
+                "q_proj": qkv_init(k[0], cfg.hidden_size, n_q_dim, dtype=dtype),
+                "k_proj": qkv_init(k[1], cfg.hidden_size, n_kv_dim, dtype=dtype),
+                "v_proj": qkv_init(k[2], cfg.hidden_size, n_kv_dim, dtype=dtype),
                 "o_proj": nn.dense_nobias_init(k[3], n_q_dim, cfg.hidden_size, dtype=dtype),
                 "gate_proj": nn.dense_nobias_init(k[4], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),
                 "up_proj": nn.dense_nobias_init(k[5], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),

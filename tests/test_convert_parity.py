@@ -51,6 +51,64 @@ class TestQwenParity:
         np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3, rtol=2e-3)
 
 
+class TestLlamaParity:
+    def test_logits_match_hf(self, tmp_path):
+        """Llama-2 family (reference affectgpt.py:92-133 alternate LLM):
+        no qkv bias, MHA, rope 10k, eps 1e-5 — through the same converter."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        hf_cfg = LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            head_dim=8, rope_theta=10000.0, rms_norm_eps=1e-5,
+            tie_word_embeddings=False, attn_implementation="eager",
+        )
+        torch.manual_seed(1)
+        model = LlamaForCausalLM(hf_cfg).eval()
+        model_dir = str(tmp_path / "hf")
+        model.save_pretrained(model_dir, safe_serialization=True)
+        params = convert.convert_llama(model_dir)
+        cfg = convert.llm_config_from_hf(model_dir)
+        assert not cfg.qkv_bias and cfg.num_kv_heads == cfg.num_heads
+        assert cfg.rms_eps == 1e-5 and not cfg.tie_embeddings
+
+        ids = np.random.RandomState(1).randint(0, 128, (2, 9))
+        with torch.no_grad():
+            hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+        params = jax.tree.map(jnp.asarray, params)
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+        logits, _ = qwen2.forward(params, cfg, embeds, jnp.ones(ids.shape))
+        np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3, rtol=2e-3)
+
+    def test_tied_embeddings_roundtrip(self, tmp_path):
+        """Tied-embedding checkpoints (e.g. real Qwen2.5-3B) have no
+        lm_head tensor; config detection + forward must handle it."""
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        hf_cfg = Qwen2Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=True, attn_implementation="eager",
+        )
+        torch.manual_seed(2)
+        model = Qwen2ForCausalLM(hf_cfg).eval()
+        model_dir = str(tmp_path / "hf")
+        model.save_pretrained(model_dir, safe_serialization=True)
+        params = convert.convert_qwen2(model_dir)
+        cfg = convert.llm_config_from_hf(model_dir)
+        assert cfg.tie_embeddings and "lm_head" not in params
+
+        ids = np.random.RandomState(2).randint(0, 128, (2, 7))
+        with torch.no_grad():
+            hf_logits = model(torch.tensor(ids)).logits.numpy()
+        params = jax.tree.map(jnp.asarray, params)
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+        logits, _ = qwen2.forward(params, cfg, embeds, jnp.ones(ids.shape))
+        np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3, rtol=2e-3)
+
+
 class TestClipParity:
     def test_image_features_match_hf(self, tmp_path):
         from transformers import CLIPConfig, CLIPModel
