@@ -13,8 +13,18 @@ import os
 AFFECTGPT_ROOT = os.environ.get("AFFECTGPT_ROOT", "./")
 MODEL_ROOT = os.environ.get("AFFECTGPT_MODEL_ROOT", os.path.join(AFFECTGPT_ROOT, "tools"))
 DATA_ROOT = os.environ.get("AFFECTGPT_DATA_ROOT", os.path.join(AFFECTGPT_ROOT, "dataset"))
+# Emotion-wheel metric data (wheel{1..5}.xlsx, synonym.xlsx, format.csv) —
+# vendored under assets/emotion_wheel so real EW F-scores compute out of
+# the box; AFFECTGPT_EMOTION_WHEEL_ROOT points at an external copy instead
+# (e.g. the reference checkout's AffectGPT/emotion_wheel).
+_VENDORED_WHEEL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "emotion_wheel",
+)
 EMOTION_WHEEL_ROOT = os.environ.get(
-    "AFFECTGPT_EMOTION_WHEEL_ROOT", os.path.join(AFFECTGPT_ROOT, "emotion_wheel")
+    "AFFECTGPT_EMOTION_WHEEL_ROOT",
+    _VENDORED_WHEEL if os.path.isdir(_VENDORED_WHEEL)
+    else os.path.join(AFFECTGPT_ROOT, "emotion_wheel"),
 )
 RESULT_ROOT = os.path.join(AFFECTGPT_ROOT, "output", "results")
 

@@ -150,3 +150,61 @@ class TestWheel:
         name2pred = {"a": "['joyful']", "b": "['cheerful']"}
         score = wm.hitrate_metric(name2gt, name2pred)
         assert score == pytest.approx(0.5)  # a hits, b predicts wrong cluster
+
+
+class TestVendoredRealScaleAssets:
+    """The real wheel data (assets/emotion_wheel, vendored from the
+    reference's emotion_wheel directory) at full scale: 253 wheel labels,
+    8 synonym runs merged to ~1255 surface forms, format augmentation to
+    ~7386 forms — case collisions, dedup, and the full backward chain."""
+
+    @pytest.fixture(scope="class")
+    def wm(self):
+        from affectgpt_tpu import paths
+
+        if not os.path.isdir(paths.EMOTION_WHEEL_ROOT):
+            pytest.skip("no emotion wheel assets")
+        return WheelMetrics(paths.EMOTION_WHEEL_ROOT)
+
+    def test_full_scale_label_space(self, wm):
+        cands = wm.candidate_labels()
+        assert len(cands) == 253
+        assert all(c == c.lower().strip() for c in cands)  # normalized+deduped
+        syn = wm.synonym_mapping()
+        assert len(syn) == 1255
+        # every synonym target is a wheel label
+        wheel_labels = set(cands)
+        assert all(t in wheel_labels for targets in syn.values() for t in targets)
+        fmt = wm.format_mapping()
+        assert len(fmt) == 7386
+
+    def test_every_wheel_loads_three_levels(self, wm):
+        for wheel in ("wheel1", "wheel2", "wheel3", "wheel4", "wheel5"):
+            store = wm.wheel_map(wheel)
+            assert len(store) >= 4  # level-1 hubs
+            assert all(l3s for l2s in store.values() for l3s in l2s.values())
+            cluster = wm.wheel_cluster(wheel, "level1")
+            # every wheel word maps to a level-1 centre that is itself a key
+            assert set(cluster.values()) <= set(store)
+
+    def test_backward_chain_on_real_words(self, wm):
+        # format variant → synonym → wheel cluster, against known wheel1 rows
+        for word in ("joyful", "happy", "cheerful"):
+            mapped = wm.backward(word, "case3_wheel1_level1")
+            assert mapped != ""
+        assert wm.backward("xyzzy", "case3_wheel1_level1") == ""
+        # case1/case2 stages also resolve
+        assert wm.backward("happy", "case1") != ""
+        assert wm.backward("happy", "case2") != ""
+
+    def test_metric_end_to_end_real_assets(self, wm):
+        name2gt = {"a": "happy, excited", "b": "sad", "c": "angry"}
+        perfect = {"a": "happy, excited", "b": "sad", "c": "angry"}
+        f, p, r = wm.wheel_metric(name2gt, perfect)
+        assert f == pytest.approx(1.0)
+        synonyms = {"a": "joyful, thrilled", "b": "sorrowful", "c": "furious"}
+        f2, p2, r2 = wm.wheel_metric(name2gt, synonyms)
+        assert f2 > 0.8  # synonyms land in the same clusters
+        wrong = {"a": "sad", "b": "happy", "c": "calm"}
+        f3, _, _ = wm.wheel_metric(name2gt, wrong)
+        assert f3 < f2
