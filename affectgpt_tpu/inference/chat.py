@@ -73,6 +73,10 @@ class Chat:
     # "int8" → quantized KV cache (qwen2.init_cache): halves decode-phase
     # cache reads / doubles max_len capacity per HBM byte. None = bf16.
     kv_cache_dtype: Optional[str] = None
+    # tp>1 serving mesh the frozen/trainable trees were sharded over
+    # (informational for engines built from this Chat; the compiled
+    # answer path itself picks the sharding up from the arg trees)
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         if self.kv_cache_dtype not in (None, "int8"):

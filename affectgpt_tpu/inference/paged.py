@@ -126,13 +126,14 @@ def paged_write(pool: dict, k_new, v_new, block_ids, offsets) -> dict:
 
 def paged_attention_auto(
     q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads: int,
-    k_scale=None, v_scale=None,
+    k_scale=None, v_scale=None, use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Dispatch: Pallas kernel on TPU (double-buffered page DMA via
     scalar-prefetched block tables), XLA gather elsewhere. Quantized pools
     (scales given) always take the XLA path — the Pallas kernel streams
-    bf16 pages."""
-    if jax.default_backend() == "tpu" and k_scale is None:
+    bf16 pages. use_pallas=False forces the XLA path (required when the
+    pools are tp-sharded: a pallas_call is opaque to the SPMD partitioner)."""
+    if use_pallas and jax.default_backend() == "tpu" and k_scale is None:
         from affectgpt_tpu.ops.paged_attention_pallas import paged_attention_pallas
 
         return paged_attention_pallas(
@@ -194,6 +195,7 @@ def paged_decode_step(
     block_tables: jnp.ndarray,  # [b, max_blocks]
     pcfg: PagedConfig,
     lora: Optional[dict] = None,
+    use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, list]:
     """One decode step over the paged cache for all sequences.
     Returns (logits [b, vocab], updated pools)."""
@@ -235,6 +237,7 @@ def paged_decode_step(
             new_pool["k"], new_pool["v"],
             block_tables, seq_lens, llm_cfg.num_kv_heads,
             k_scale=new_pool.get("k_scale"), v_scale=new_pool.get("v_scale"),
+            use_pallas=use_pallas,
         ).reshape(b, 1, llm_cfg.num_heads * llm_cfg.head_dim)
         attn = _lora_dense(layer["o_proj"], lget("o_proj"), attn, scaling, has_bias=False)
         x = x + attn
@@ -266,14 +269,34 @@ class PagedBatchServer:
     def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
                  max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
-                 prefill_bucket: int = 64):
+                 prefill_bucket: int = 64, mesh=None):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
+        if mesh is not None:
+            # tp>1 serving: weights by the mesh rules, page pools sharded
+            # over kv heads ([blocks, block, kv, d]); GSPMD inserts the
+            # collectives. The Pallas page kernel streams local shards only
+            # when unsharded — sharded pools take the XLA gather path.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from affectgpt_tpu.parallel import mesh as mesh_lib
+
+            frozen = mesh_lib.shard_params(mesh, frozen)
+            trainable = mesh_lib.shard_params(mesh, trainable)
+            tp = mesh.shape.get("tp", 1)
+            kv_axis = "tp" if cfg.llm.num_kv_heads % max(tp, 1) == 0 else None
+            self._pool_sharding = NamedSharding(mesh, P(None, None, kv_axis, None))
+        else:
+            self._pool_sharding = None
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
         self.tokenizer = tokenizer
         self.pcfg = pcfg or PagedConfig()
         self.max_slots = max_slots
         self.pools = init_paged_cache(cfg.llm, self.pcfg, dtype=dtype)
+        if self._pool_sharding is not None:
+            self.pools = jax.tree.map(
+                lambda x: jax.device_put(x, self._pool_sharding), self.pools
+            )
         self.alloc = BlockAllocator(self.pcfg)
         self.slots = [None] * max_slots  # per-slot dict or None
         self.pending: List = []
@@ -404,6 +427,7 @@ class PagedBatchServer:
         logits, self.pools = paged_decode_step(
             self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
             tables, self.pcfg, lora=self.trainable["lora"],
+            use_pallas=self._pool_sharding is None,
         )
         sampled = np.asarray(self._sample(logits), np.int32)
         for row, (i, s) in enumerate(live):

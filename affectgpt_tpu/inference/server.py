@@ -117,7 +117,23 @@ class BatchServer:
     def __init__(self, frozen, trainable, cfg: affectgpt.AffectGPTConfig, tokenizer,
                  max_slots: int = 8, max_len: int = 512,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
-                 seed: int = 0, prefill_bucket: int = 64):
+                 seed: int = 0, prefill_bucket: int = 64, mesh=None):
+        if mesh is not None:
+            # tp>1 single-program serving: weights sharded by the training
+            # mesh rules (col/row-parallel), KV cache sharded over kv heads;
+            # GSPMD propagates through the three compiled programs and
+            # inserts the collectives over ICI. Same request/result contract.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from affectgpt_tpu.parallel import mesh as mesh_lib
+
+            frozen = mesh_lib.shard_params(mesh, frozen)
+            trainable = mesh_lib.shard_params(mesh, trainable)
+            tp = mesh.shape.get("tp", 1)
+            kv_axis = "tp" if cfg.llm.num_kv_heads % max(tp, 1) == 0 else None
+            self._cache_sharding = NamedSharding(mesh, P(None, kv_axis, None, None))
+        else:
+            self._cache_sharding = None
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg
         self.tokenizer = tokenizer
         self.max_slots, self.max_len = max_slots, max_len
@@ -129,6 +145,10 @@ class BatchServer:
         self.rng = jax.random.PRNGKey(seed)
         dtype = jnp.result_type(jax.tree.leaves(frozen["llm"])[0].dtype)
         self.cache = qwen2.init_cache(cfg.llm, max_slots, max_len, dtype=dtype)
+        if self._cache_sharding is not None:
+            self.cache = jax.tree.map(
+                lambda x: jax.device_put(x, self._cache_sharding), self.cache
+            )
         self.slots = [SlotState() for _ in range(max_slots)]
         self.next_tokens = np.zeros(max_slots, np.int32)
         self.pending: List[Request] = []

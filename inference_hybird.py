@@ -59,6 +59,10 @@ def parse_args():
                              "(top-p sampling; HBM bounded by tokens in flight)")
     parser.add_argument("--paged_block_size", type=int, default=16)
     parser.add_argument("--paged_num_blocks", type=int, default=2048)
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree: shard the LLM over the "
+                        "first N devices of a 1×N mesh (single-program GSPMD "
+                        "serving; the 7B flagship path on multi-chip slices)")
     return parser.parse_args()
 
 
@@ -99,6 +103,16 @@ def main() -> None:
 
         frozen = dict(frozen)
         frozen["llm"] = qwen2.quantize_params(frozen["llm"])
+    mesh = None
+    if args.tp > 1:
+        from affectgpt_tpu.parallel import mesh as mesh_lib
+
+        devices = jax.devices()
+        assert len(devices) >= args.tp, (
+            f"--tp {args.tp} needs {args.tp} devices, found {len(devices)}"
+        )
+        mesh = mesh_lib.create_mesh(devices[: args.tp], tp=args.tp)
+        frozen = mesh_lib.shard_params(mesh, frozen)
     inference_cfg = cfg.inference
 
     datasets = (
@@ -132,8 +146,13 @@ def main() -> None:
             checkpoint.apply_checkpoint_overlays(trainable, ckpt_path)
             if ckpt_path else trainable
         )
+        if mesh is not None:
+            from affectgpt_tpu.parallel import mesh as mesh_lib
+
+            epoch_trainable = mesh_lib.shard_params(mesh, epoch_trainable)
         chat = Chat(frozen, epoch_trainable, model_cfg, tokenizer,
-                    kv_cache_dtype=inference_cfg.get("kv_cache_dtype"))
+                    kv_cache_dtype=inference_cfg.get("kv_cache_dtype"),
+                    mesh=mesh)
         run_datasets(
             args, cfg, chat, frozen, model_cfg, tokenizer, datasets, face_or_frame,
             user_message, result_root, str(epoch), data_model_cfg,
@@ -168,7 +187,7 @@ def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stack
         chat.frozen, chat.trainable, chat.cfg, chat.tokenizer,
         pcfg=pcfg, max_slots=min(len(subtitles), 16),
         dtype=pool_dtype,
-        do_sample=True, top_p=0.9, seed=seed,
+        do_sample=True, top_p=0.9, seed=seed, mesh=chat.mesh,
     )
     for i in range(len(subtitles)):
         server.submit(Request(

@@ -35,6 +35,69 @@ def test_tp_sharded_generate_matches_replicated(eight_devices):
     np.testing.assert_array_equal(np.asarray(ref_tokens), np.asarray(tp_tokens))
 
 
+def _make_requests(cfg, lengths=(6, 9, 5)):
+    from affectgpt_tpu.inference.server import Request
+
+    reqs = []
+    for rid, length in enumerate(lengths):
+        rng = np.random.RandomState(rid)
+        ids = rng.randint(1, 250, length).astype(np.int32)
+        ids[2 : 2 + cfg.num_video_query_token] = 0
+        reqs.append(Request(
+            request_id=rid, input_ids=ids,
+            features={"face": rng.randn(8, cfg.visual_dim).astype(np.float32)},
+            offsets={"face": 2}, max_new_tokens=4,
+        ))
+    return reqs
+
+
+def test_tp_sharded_batch_server_matches_replicated(eight_devices):
+    """The dense continuous-batching engine under a 1×tp mesh (weights
+    col/row-parallel, cache over kv heads) must produce identical tokens."""
+    from affectgpt_tpu.inference.server import BatchServer
+
+    cfg = affectgpt.AffectGPTConfig.tiny()
+    frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg)
+    from affectgpt_tpu.tokenization import ByteTokenizer
+
+    tok = ByteTokenizer()
+    ref = BatchServer(frozen, trainable, cfg, tok, max_slots=2, max_len=64)
+    for r in _make_requests(cfg):
+        ref.submit(r)
+    ref_out = ref.run_until_drained()
+
+    mesh = mesh_lib.create_mesh(eight_devices[:2], tp=2)
+    tp = BatchServer(frozen, trainable, cfg, tok, max_slots=2, max_len=64, mesh=mesh)
+    assert tp.cache[0]["k"].sharding.spec[1] == "tp"  # kv heads sharded
+    for r in _make_requests(cfg):
+        tp.submit(r)
+    assert tp.run_until_drained() == ref_out
+
+
+def test_tp_sharded_paged_server_matches_replicated(eight_devices):
+    from affectgpt_tpu.inference.paged import PagedBatchServer, PagedConfig
+
+    cfg = affectgpt.AffectGPTConfig.tiny()
+    frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg)
+    from affectgpt_tpu.tokenization import ByteTokenizer
+
+    tok = ByteTokenizer()
+    pcfg = PagedConfig(block_size=4, num_blocks=64, max_blocks_per_seq=8)
+    ref = PagedBatchServer(frozen, trainable, cfg, tok, pcfg=pcfg, max_slots=2)
+    for r in _make_requests(cfg):
+        ref.submit(r)
+    ref_out = ref.run_until_drained()
+
+    mesh = mesh_lib.create_mesh(eight_devices[:2], tp=2)
+    tp = PagedBatchServer(frozen, trainable, cfg, tok, pcfg=pcfg, max_slots=2, mesh=mesh)
+    assert tp.pools[0]["k"].sharding.spec[2] == "tp"
+    for r in _make_requests(cfg):
+        tp.submit(r)
+    assert tp.run_until_drained() == ref_out
+
+
 def test_dp_tp_sharded_generate_matches_replicated(eight_devices):
     """Pod-serving program: batch sharded over dp, weights over tp —
     one jit, GSPMD collectives over both axes."""
