@@ -90,6 +90,13 @@ if __name__ == "__main__":
     parser.add_argument("--input-dir", required=True, help="result root holding result-* dirs")
     parser.add_argument("--no-llm", action="store_true",
                         help="use the deterministic lexicon judge instead of the LLM")
+    parser.add_argument("--cfg-path", default=None,
+                        help="experiment YAML; applies its `paths:` overrides so "
+                        "ground-truth label files resolve (quality_run.sh)")
     args = parser.parse_args()
     setup_logger()
+    if args.cfg_path:
+        from affectgpt_tpu.config import Config
+
+        Config.from_file(args.cfg_path)
     main_zeroshot_scores(args.input_dir, use_llm=not args.no_llm)

@@ -256,14 +256,27 @@ def main() -> None:
                         choices=["uniform", "headtail", "emotion_peak"])
     parser.add_argument("--clips_per_video", type=int, default=8)
     parser.add_argument("--n_frms", type=int, default=8, help="Deprecated: use --frame_n_frms")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="process only the first N sample names "
+                        "(quick quality-run staging)")
     args = parser.parse_args()
     setup_logger()
+
+    # default media roots from the path tables (reference reads config.py
+    # PATH_TO_RAW_* directly) so `--dataset X` alone works on a mounted corpus
+    from affectgpt_tpu import paths as _paths
+
+    args.video_root = args.video_root or _paths.PATH_TO_RAW_VIDEO.get(args.dataset)
+    args.face_root = args.face_root or _paths.PATH_TO_RAW_FACE.get(args.dataset)
+    args.audio_root = args.audio_root or _paths.PATH_TO_RAW_AUDIO.get(args.dataset)
 
     extractor = FeatureExtractor(
         args.visual_encoder, args.acoustic_encoder, args.frame_sampling,
         args.frame_n_frms, args.clips_per_video, args.save_root, args.dataset,
     )
     names = read_sample_names(args)
+    if args.limit:
+        names = names[: args.limit]
     modalities = (
         ["frame", "face", "audio", "au", "multi"] if args.modality == "all" else [args.modality]
     )

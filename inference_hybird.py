@@ -59,6 +59,9 @@ def parse_args():
                              "(top-p sampling; HBM bounded by tokens in flight)")
     parser.add_argument("--paged_block_size", type=int, default=16)
     parser.add_argument("--paged_num_blocks", type=int, default=2048)
+    parser.add_argument("--greedy", action="store_true", default=False,
+                        help="greedy decoding (reproducible quality runs; "
+                        "default is the reference's top-p 0.9 sampling)")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard the LLM over the "
                         "first N devices of a 1×N mesh (single-program GSPMD "
@@ -187,7 +190,7 @@ def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stack
         chat.frozen, chat.trainable, chat.cfg, chat.tokenizer,
         pcfg=pcfg, max_slots=min(len(subtitles), 16),
         dtype=pool_dtype,
-        do_sample=True, top_p=0.9, seed=seed, mesh=chat.mesh,
+        do_sample=not args.greedy, top_p=0.9, seed=seed, mesh=chat.mesh,
     )
     for i in range(len(subtitles)):
         server.submit(Request(
@@ -269,6 +272,7 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
                 responses = chat.answer_batch(
                     face_or_frame, subtitles, user_message, stacked,
                     rng=jax.random.PRNGKey(start), max_new_tokens=args.max_new_tokens,
+                    do_sample=not args.greedy,
                 )
             for name, response in zip(chunk, responses):
                 name2reason[name] = response
