@@ -1,0 +1,97 @@
+"""mp4/H.264 ingest: direct decode through the backend ladder, and the
+ingest-transcode recipe (any container → MJPEG-AVI) whose output the
+in-tree native decoder reads back."""
+
+import os
+
+import numpy as np
+import pytest
+
+from affectgpt_tpu.data import ingest, media
+
+REFERENCE_MP4 = "/root/reference/AffectGPT/demo/sample_00000000.mp4"
+
+
+def _make_mp4v_fixture(path, n=10, w=64, h=48):
+    cv2 = pytest.importorskip("cv2")
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 5.0, (w, h)
+    )
+    if not writer.isOpened():
+        pytest.skip("no mp4 encoder available")
+    rng = np.random.RandomState(0)
+    frames = []
+    for i in range(n):
+        # smooth content so lossy round-trips stay comparable
+        base = np.full((h, w, 3), 20 * i, np.uint8)
+        base[:, : w // 2] += rng.randint(0, 30)
+        frames.append(base)
+        writer.write(base[:, :, ::-1])
+    writer.release()
+    return np.stack(frames)
+
+
+class TestDirectMp4Decode:
+    def test_real_h264_mp4(self):
+        """The VERDICT 'done' bar: read_video_frames succeeds on an H.264
+        mp4 in this image (High-profile stream, cv2+FFmpeg backend)."""
+        if not os.path.exists(REFERENCE_MP4):
+            pytest.skip("reference demo mp4 not mounted")
+        frames = media.read_video_frames(REFERENCE_MP4, n_frms=8)
+        assert frames.shape == (8, 404, 720, 3)
+        assert frames.dtype == np.uint8
+        assert frames.std() > 1  # actual image content, not zeros
+
+    def test_generated_mp4(self, tmp_path):
+        src = tmp_path / "clip.mp4"
+        original = _make_mp4v_fixture(src)
+        frames = media.read_video_frames(str(src), n_frms=4)
+        assert frames.shape[0] == 4 and frames.shape[3] == 3
+
+
+class TestMjpegAviTranscode:
+    def test_roundtrip_through_native_decoder(self, tmp_path):
+        src = tmp_path / "clip.mp4"
+        original = _make_mp4v_fixture(src)
+        dst = tmp_path / "clip.avi"
+        n = ingest.transcode_video(str(src), str(dst), quality=95)
+        assert n == len(original)
+        # the transcoded AVI must decode through the in-tree native backend
+        from affectgpt_tpu.data.media import _read_video_native
+
+        frames = _read_video_native(str(dst), 4, "uniform", None, None)
+        assert frames is not None, "native decoder rejected our MJPEG-AVI"
+        assert frames.shape == (4, 48, 64, 3)
+        # lossy (mp4v + JPEG) but same content at the sampler's indices
+        from affectgpt_tpu.ops.sampling import uniform_indices
+
+        idx = uniform_indices(len(original), 4)
+        ref = original[idx].astype(np.int16)
+        np.testing.assert_allclose(frames.astype(np.int16), ref, atol=24)
+
+    def test_muxer_output_parses_without_cv2(self, tmp_path):
+        rng = np.random.RandomState(1)
+        frames = [(rng.rand(32, 48, 3) * 255).astype(np.uint8) for _ in range(3)]
+        dst = tmp_path / "synth.avi"
+        assert ingest.write_mjpeg_avi(str(dst), frames, fps=10) == 3
+        got = media.read_video_frames(str(dst), n_frms=3)
+        assert got.shape == (3, 32, 48, 3)
+
+    def test_transcode_tree(self, tmp_path):
+        src_root = tmp_path / "corpus"
+        (src_root / "sub").mkdir(parents=True)
+        _make_mp4v_fixture(src_root / "a.mp4", n=4)
+        _make_mp4v_fixture(src_root / "sub" / "b.mp4", n=4)
+        dst_root = tmp_path / "mjpeg"
+        assert ingest.transcode_tree(str(src_root), str(dst_root)) == 2
+        assert (dst_root / "a.avi").exists()
+        assert (dst_root / "sub" / "b.avi").exists()
+        # skip-if-exists resume
+        assert ingest.transcode_tree(str(src_root), str(dst_root)) == 0
+
+    def test_segment_transcode(self, tmp_path):
+        src = tmp_path / "clip.mp4"
+        _make_mp4v_fixture(src, n=10)
+        dst = tmp_path / "seg.avi"
+        n = ingest.segment_transcode(str(src), str(dst), 0.4, 1.2, fps=5.0)
+        assert n == 4  # frames 2..5
