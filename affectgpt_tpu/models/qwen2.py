@@ -159,29 +159,109 @@ def _int8_shapes_ok(x2d, w_q, block_m: int = 256, block_n: int = 512, block_k: i
     )
 
 
-def quantize_params(params: dict) -> dict:
-    """Int8-quantize the decoder projection weights for serving; embeddings
+def quantize_params(params: dict, bits: int = 8) -> dict:
+    """Quantize the decoder projection weights for serving (bits=8 per-channel
+    int8, bits=4 group-128 int4 — halves the decode HBM read again); embeddings
     and norms stay bf16 (embedding gathers are cheap; norms are vectors)."""
     from affectgpt_tpu.ops import quant
 
     out = dict(params)
-    out["layers"] = [quant.quantize_dense_tree(layer) for layer in params["layers"]]
+    out["layers"] = [quant.quantize_dense_tree(layer, bits=bits) for layer in params["layers"]]
     if "lm_head" in params:
-        out["lm_head"] = quant.quantize_dense_tree(params["lm_head"])
+        out["lm_head"] = quant.quantize_dense_tree(params["lm_head"], bits=bits)
     return out
 
 
+def init_quantized_params(rng: jax.Array, cfg: QwenConfig, bits: int = 4, dtype=jnp.bfloat16) -> dict:
+    """Random decoder weights created DIRECTLY in quantized form (benchmark /
+    smoke-test utility): at 7B geometry the bf16 master tree (15.2 GB) does
+    not fit one v5e HBM, and shipping host-quantized weights through the axon
+    relay is impractically slow — so each dense leaf is born as random int4/int8
+    values + a scale matching a N(0, 1/K) init's group absmax. Compute/memory
+    profile is identical to a converted real checkpoint."""
+    from affectgpt_tpu.ops import quant
+
+    assert bits in (8, 4)
+
+    def qdense(key, k, n, bias: bool):
+        kq, _ = jax.random.split(key)
+        sigma = 1.0 / float(k) ** 0.5
+        if bits == 4 and k % (2 * quant.INT4_GROUP) == 0:
+            w_p = jax.random.randint(kq, (k // 2, n), -128, 128, dtype=jnp.int32).astype(jnp.int8)
+            scales = jnp.full((k // quant.INT4_GROUP, n), 3.0 * sigma / 7.0, jnp.float32)
+            out = {"w_q4": w_p, "scales": scales}
+        else:
+            w_q = jax.random.randint(kq, (k, n), -127, 128, dtype=jnp.int32).astype(jnp.int8)
+            out = {"w_q": w_q, "scales": jnp.full((1, n), 3.0 * sigma / 127.0, jnp.float32)}
+        if bias:
+            out["b"] = jnp.zeros((n,), dtype=dtype)
+        return out
+
+    n_kv_dim = cfg.num_kv_heads * cfg.head_dim
+    n_q_dim = cfg.num_heads * cfg.head_dim
+    keys = jax.random.split(rng, cfg.num_layers + 3)
+    layers = []
+    for i in range(cfg.num_layers):
+        k = jax.random.split(keys[i], 7)
+        layers.append(
+            {
+                "q_proj": qdense(k[0], cfg.hidden_size, n_q_dim, cfg.qkv_bias),
+                "k_proj": qdense(k[1], cfg.hidden_size, n_kv_dim, cfg.qkv_bias),
+                "v_proj": qdense(k[2], cfg.hidden_size, n_kv_dim, cfg.qkv_bias),
+                "o_proj": qdense(k[3], n_q_dim, cfg.hidden_size, False),
+                "gate_proj": qdense(k[4], cfg.hidden_size, cfg.intermediate_size, False),
+                "up_proj": qdense(k[5], cfg.hidden_size, cfg.intermediate_size, False),
+                "down_proj": qdense(k[6], cfg.intermediate_size, cfg.hidden_size, False),
+                "input_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
+                "post_attn_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
+            }
+        )
+    params = {
+        "embed_tokens": nn.embedding_init(keys[-3], cfg.vocab_size, cfg.hidden_size, dtype=dtype),
+        "layers": layers,
+        "final_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = qdense(keys[-2], cfg.hidden_size, cfg.vocab_size, False)
+    return params
+
+
 def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
-    if "w_q" in base:
-        # int8 serving mode: fused dequant matmul (Pallas on TPU, XLA elsewhere)
+    if "w_q4" in base:
+        # int4 serving mode: fused grouped-dequant matmul for decode-shaped
+        # M (HBM-bound — the packed weights are the traffic); prefill-shaped
+        # M takes the XLA dequant path, whose transient bf16 weight buffer
+        # lets the matmul run at full MXU rate (prefill is compute-bound;
+        # re-streaming weights per Pallas M-block would add ~25% traffic).
         from affectgpt_tpu.ops import quant
 
         orig_shape = x.shape
         x2d = x.reshape(-1, orig_shape[-1])
-        if jax.default_backend() == "tpu" and _int8_shapes_ok(x2d, base["w_q"]):
-            kernel = (
-                quant.int8_matmul_w8a8 if quant.MATMUL_MODE == "w8a8" else quant.int8_matmul
-            )
+        if (
+            jax.default_backend() == "tpu"
+            and x2d.shape[0] <= quant.PALLAS_DEQUANT_MAX_M
+            and quant.int4_shapes_ok(x2d, base["w_q4"])
+        ):
+            y = quant.int4_matmul(x2d, base["w_q4"], base["scales"]).astype(jnp.float32)
+        else:
+            y = quant.int4_matmul_xla(x2d, base["w_q4"], base["scales"]).astype(jnp.float32)
+        y = y.reshape(*orig_shape[:-1], base["w_q4"].shape[1])
+    elif "w_q" in base:
+        # int8 serving mode: fused dequant matmul (Pallas on TPU, XLA
+        # elsewhere). Same M dispatch as int4: Pallas streams int8 tiles for
+        # decode, XLA dequant for compute-bound prefill (w8a8 always runs the
+        # Pallas kernel — its point is int8×int8 MXU compute).
+        from affectgpt_tpu.ops import quant
+
+        orig_shape = x.shape
+        x2d = x.reshape(-1, orig_shape[-1])
+        w8a8 = quant.MATMUL_MODE == "w8a8"
+        if (
+            jax.default_backend() == "tpu"
+            and (w8a8 or x2d.shape[0] <= quant.PALLAS_DEQUANT_MAX_M)
+            and _int8_shapes_ok(x2d, base["w_q"])
+        ):
+            kernel = quant.int8_matmul_w8a8 if w8a8 else quant.int8_matmul
             y = kernel(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
         else:
             y = quant.int8_matmul_xla(x2d, base["w_q"], base["scales"]).astype(jnp.float32)
@@ -400,7 +480,7 @@ def forward(
         logits = jnp.dot(
             x, params["embed_tokens"]["table"].T, preferred_element_type=jnp.float32
         )
-    elif "w_q" in params["lm_head"]:
+    elif "w" not in params["lm_head"]:  # quantized (w_q int8 / w_q4 int4)
         logits = _lora_dense(params["lm_head"], None, x, 0.0, has_bias=False).astype(
             jnp.float32
         )

@@ -1,9 +1,17 @@
-"""Int8 weight quantization with fused Pallas matmul kernels.
+"""Int8/int4 weight quantization with fused Pallas matmul kernels.
 
 MATMUL_MODE selects the serving precision at trace time:
 - "w8"   (default): int8 weights, bf16 activations — dequant-in-kernel.
 - "w8a8": int8 weights AND activations (dynamic per-row quantization) —
   int8×int8 MXU matmuls at 2× bf16 throughput; more quantization error.
+
+W4 (int4 grouped) is a separate weight format selected per-tree
+(`quantize_dense_tree(..., bits=4)`): two int4 values packed per int8
+byte (low nibbles = rows [0, K/2), high nibbles = rows [K/2, K) — the
+unpack is two shift/mask ops, no interleave), with per-(K-group, out
+channel) float32 scales (group 128, the GPTQ/AWQ standard). Autoregressive
+decode of the 7B flagship is HBM-bound on the weight read; int4 halves it
+again vs int8 (7.6 GB → 3.8 GB per step) at grouped-quant accuracy.
 
 Serving-mode optimization with no reference equivalent (the reference
 serves fp16 through HF generate): autoregressive decode is HBM-bandwidth
@@ -175,6 +183,170 @@ def int8_matmul_w8a8(
     )(x, w_q, scales)
 
 
+# ---------------------------------------------------------------------------
+# W4: int4 grouped quantization
+
+INT4_GROUP = 128  # K-rows per scale group (GPTQ/AWQ default)
+
+
+def quantize_int4_grouped(
+    w: jnp.ndarray, group_size: int = INT4_GROUP
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float → (packed int8 [K/2, N], scales f32 [K/group, N]).
+
+    Symmetric per-(group, output-channel) quantization to [-7, 7]
+    (scale = absmax/7). Packing: byte[k, n] = (q[k + K/2, n] << 4) |
+    (q[k, n] & 0xF) — low nibble holds the first K-half, high nibble the
+    second, so the kernel unpacks with one mask and one arithmetic shift
+    and contracts each half against the matching x columns.
+    """
+    k, n = w.shape
+    assert k % 2 == 0 and k % group_size == 0 and (k // 2) % group_size == 0, (k, group_size)
+    w = w.astype(jnp.float32)
+    groups = k // group_size
+    wg = w.reshape(groups, group_size, n)
+    absmax = jnp.max(jnp.abs(wg), axis=1, keepdims=True)  # [G, 1, N]
+    scale = jnp.maximum(absmax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int32).reshape(k, n)
+    lo, hi = q[: k // 2], q[k // 2 :]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
+    return packed, scale[:, 0, :]
+
+
+def _unpack_int4(packed_i32: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int32 packed bytes → (low-nibble int32, high-nibble int32), signed."""
+    lo = ((packed_i32 & 0xF) ^ 0x8) - 0x8  # sign-extend 4-bit
+    hi = packed_i32 >> 4  # arithmetic shift; int8 sign already extended
+    return lo, hi
+
+
+def _kernel_w4(x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref, *, group: int):
+    """One (m, n, k) tile of the W4 matmul. The packed tile covers real-K
+    rows [l·bk, (l+1)·bk) in the low nibbles and [K/2 + l·bk, …) in the
+    high nibbles; each nibble half is contracted subgroup-by-subgroup
+    (static unroll, `group`-wide MXU dots) so the per-group scales apply
+    to f32 partial sums — the dequantized weight tile never exists."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wp = wp_ref[:].astype(jnp.int32)
+    lo, hi = _unpack_int4(wp)
+    bk = wp.shape[0]
+    for half, x_ref, s_ref in ((lo, x_lo_ref, s_lo_ref), (hi, x_hi_ref, s_hi_ref)):
+        w_bf = half.astype(jnp.bfloat16)
+        for s in range(bk // group):
+            xs = x_ref[:, s * group : (s + 1) * group].astype(jnp.bfloat16)
+            ws = w_bf[s * group : (s + 1) * group, :]
+            p = jnp.dot(xs, ws, preferred_element_type=jnp.float32)
+            # s_ref is [1, sg, bn] (3-D so Mosaic's sublane-divisibility rule
+            # sees a full-array middle dim); row s scales this subgroup
+            acc_ref[:] += p * s_ref[0, s : s + 1, :].astype(jnp.float32)
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _w4_block_k(k_half: int, group: int, cap: int = 1024) -> int:
+    """Largest multiple of `group` that divides k_half and is ≤ cap."""
+    best = 0
+    d = group
+    while d <= min(k_half, cap):
+        if k_half % d == 0:
+            best = d
+        d += group
+    return best
+
+
+def int4_shapes_ok(x2d, w_p, group: int = INT4_GROUP, block_m: int = 256, block_n: int = 512) -> bool:
+    m = x2d.shape[0]
+    k_half, n = w_p.shape
+    return (
+        m % min(block_m, m) == 0
+        and n % min(block_n, n) == 0
+        and k_half % group == 0
+        and _w4_block_k(k_half, group) > 0
+    )
+
+
+@partial(jax.jit, static_argnames=("group", "block_m", "block_n", "interpret"))
+def int4_matmul(
+    x: jnp.ndarray,
+    w_p: jnp.ndarray,
+    scales: jnp.ndarray,
+    group: int = INT4_GROUP,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x [M, K] (bf16/f32) @ dequant(w_p int4-packed [K/2, N],
+    scales [K/group, N]) → [M, N] x.dtype.
+
+    Grid (M/bm, N/bn, (K/2)/bk) with K innermost; every step streams one
+    packed tile (bk rows of bytes = 2·bk rows of weights) and contracts
+    both nibble halves against their x column blocks, accumulating in an
+    f32 VMEM scratch tile.
+    """
+    m, k = x.shape
+    k_half, n = w_p.shape
+    assert k == 2 * k_half, (k, k_half)
+    groups = k // group
+    assert scales.shape == (groups, n), (scales.shape, groups, n)
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = _w4_block_k(k_half, group)
+    assert m % block_m == 0 and n % block_n == 0 and block_k > 0, (m, n, k)
+
+    nk = k_half // block_k  # packed K blocks; also the hi-half block offset
+    sg = block_k // group  # scale rows per block
+    # scales [K/group, N] → [2·nk, sg, N]: blocked (1, sg, block_n), so the
+    # sublane-adjacent dims are (sg == full dim, 128-multiple) — Mosaic's
+    # block-shape rule rejects a 2-D (sg, block_n) block when sg % 8 != 0
+    scales3 = scales.reshape(2 * nk, sg, n)
+    grid = (m // block_m, n // block_n, nk)
+    return pl.pallas_call(
+        partial(_kernel_w4, group=group),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l)),  # x low half
+            pl.BlockSpec((block_m, block_k), lambda i, j, l: (i, l + nk)),  # x high half
+            pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),  # packed bytes
+            pl.BlockSpec((1, sg, block_n), lambda i, j, l: (l, 0, j)),  # low-half scales
+            pl.BlockSpec((1, sg, block_n), lambda i, j, l: (l + nk, 0, j)),  # high-half scales
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, l: (i, j)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k_half * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, w_p, scales3, scales3)
+
+
+def int4_matmul_xla(
+    x: jnp.ndarray, w_p: jnp.ndarray, scales: jnp.ndarray, group: int = INT4_GROUP
+) -> jnp.ndarray:
+    """XLA fallback with identical semantics (CPU / odd shapes / testing)."""
+    k_half, n = w_p.shape
+    k = 2 * k_half
+    lo, hi = _unpack_int4(w_p.astype(jnp.int32))
+    w = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)
+    w = (w.reshape(k // group, group, n) * scales[:, None, :]).reshape(k, n)
+    y = jnp.dot(
+        x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+    )
+    return y.astype(x.dtype)
+
+
 def int8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
     """XLA fallback with identical semantics (used on CPU / for testing)."""
     y = jnp.dot(
@@ -183,15 +355,23 @@ def int8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray) -> jn
     return (y * scales.astype(jnp.float32)).astype(x.dtype)
 
 
-def quantize_dense_tree(params) -> dict:
+def quantize_dense_tree(params, bits: int = 8, group_size: int = INT4_GROUP) -> dict:
     """Quantize every 2-D 'w' leaf of a dense-params pytree in place
-    (dict-level): {'w': [K,N], 'b'?} → {'w_q', 'scales', 'b'?}."""
+    (dict-level): {'w': [K,N], 'b'?} → {'w_q', 'scales', 'b'?} (bits=8)
+    or {'w_q4', 'scales', 'b'?} (bits=4, per-group scales). bits=4 leaves
+    with a K not divisible by 2·group_size fall back to int8."""
+    assert bits in (8, 4), bits
 
     def visit(node):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2:
-                w_q, scales = quantize_per_channel(node["w"])
-                out = {"w_q": w_q, "scales": scales}
+                k = node["w"].shape[0]
+                if bits == 4 and k % (2 * group_size) == 0:
+                    w_p, scales = quantize_int4_grouped(node["w"], group_size)
+                    out = {"w_q4": w_p, "scales": scales}
+                else:
+                    w_q, scales = quantize_per_channel(node["w"])
+                    out = {"w_q": w_q, "scales": scales}
                 if "b" in node:
                     out["b"] = node["b"]
                 return out
@@ -205,3 +385,9 @@ def quantize_dense_tree(params) -> dict:
 
 # serving precision mode, read at trace time by the decoder's dense layers
 MATMUL_MODE = "w8"
+
+# M threshold separating decode-shaped (Pallas weight-streaming kernel;
+# HBM-bound, quantized bytes are the traffic) from prefill-shaped matmuls
+# (XLA dequant path; compute-bound, transient bf16 weights run the MXU at
+# full rate and XLA's own blocking reuses them across all M tiles).
+PALLAS_DEQUANT_MAX_M = 1024

@@ -33,10 +33,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REFERENCE_CLIPS_PER_SEC = 41.0  # fully preextracted, 1 CUDA GPU (baseline)
 
 # env overrides for sweeps (defaults are the recorded configuration)
-BATCH = int(os.environ.get("BENCH_BATCH", 384))
+GEOMETRY = os.environ.get("BENCH_GEOMETRY", "3b")  # "3b" bf16 | "7b" int4 flagship
+BATCH = int(os.environ.get("BENCH_BATCH", 384 if GEOMETRY == "3b" else 256))
 PROMPT_LEN = int(os.environ.get("BENCH_PROMPT_LEN", 128))
 NEW_TOKENS = int(os.environ.get("BENCH_NEW_TOKENS", 32))
 MAX_LEN = max(int(os.environ.get("BENCH_MAX_LEN", 192)), PROMPT_LEN + NEW_TOKENS)
+# 7b weight precision: 4 (group-128 int4, default — bf16 doesn't fit) or 8
+BITS = int(os.environ.get("BENCH_BITS", 4))
 
 
 def qwen_3b_config():
@@ -48,8 +51,8 @@ def qwen_3b_config():
     )
 
 
-def build(llm_cfg, dtype=jnp.bfloat16):
-    from affectgpt_tpu.models import affectgpt
+def build(llm_cfg, dtype=jnp.bfloat16, quant_bits=None):
+    from affectgpt_tpu.models import affectgpt, qwen2
 
     cfg = affectgpt.AffectGPTConfig(
         llm=llm_cfg,
@@ -57,7 +60,16 @@ def build(llm_cfg, dtype=jnp.bfloat16):
         multi_fusion_type="attention",
         num_video_query_token=8, num_audio_query_token=8, num_multi_query_token=1,
     )
-    frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    if quant_bits is None:
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=dtype)
+    else:
+        # 7B flagship: weights born quantized on device (the bf16 master tree
+        # would not fit one v5e HBM; see qwen2.init_quantized_params)
+        frozen = {
+            "llm": qwen2.init_quantized_params(
+                jax.random.PRNGKey(0), cfg.llm, bits=quant_bits, dtype=dtype
+            )
+        }
     trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg, dtype=dtype)
     return cfg, frozen, trainable
 
@@ -91,8 +103,14 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", flush=True)
 
-    llm_cfg = qwen_3b_config()
-    cfg, frozen, trainable = build(llm_cfg)
+    if GEOMETRY == "7b":
+        from affectgpt_tpu.models import qwen2
+
+        llm_cfg = qwen2.QwenConfig.qwen25_7b()
+        cfg, frozen, trainable = build(llm_cfg, quant_bits=BITS)
+    else:
+        llm_cfg = qwen_3b_config()
+        cfg, frozen, trainable = build(llm_cfg)
     gcfg = gen.GenerateConfig(max_new_tokens=NEW_TOKENS, do_sample=False, eos_token_id=0)
 
     input_ids, feats, offsets = make_clip_batch(cfg, BATCH)
@@ -130,7 +148,11 @@ def main():
             {
                 "metric": (
                     "tri-modal preextracted clips/sec/chip "
-                    f"(3B-class LLM, bf16, {NEW_TOKENS}-tok decode, batch {BATCH})"
+                    + (
+                        f"(7B flagship LLM, int{BITS} weights, {NEW_TOKENS}-tok decode, batch {BATCH})"
+                        if GEOMETRY == "7b"
+                        else f"(3B-class LLM, bf16, {NEW_TOKENS}-tok decode, batch {BATCH})"
+                    )
                 ),
                 "value": round(clips_per_sec, 2),
                 "unit": "clips/s",

@@ -54,6 +54,10 @@ def parse_args():
                         help="'last', 'all', a single epoch number, or 'a-b' range")
     parser.add_argument("--int8", action="store_true",
                         help="int8 serving mode (quantized decoder weights)")
+    parser.add_argument("--int4", action="store_true",
+                        help="int4 serving mode (group-128 quantized decoder "
+                             "weights; halves the decode HBM read again vs "
+                             "int8 — the 7B-flagship-on-one-chip path)")
     parser.add_argument("--paged", action="store_true",
                         help="serve through the paged-KV continuous-batching engine "
                              "(top-p sampling; HBM bounded by tokens in flight)")
@@ -101,11 +105,12 @@ def main() -> None:
     cfg = Config.from_file(args.cfg_path, args.options) if args.cfg_path else Config.from_dict({})
 
     model_cfg, frozen, trainable, tokenizer = build_model(cfg, with_encoders=True)
-    if args.int8:
+    if args.int8 or args.int4:
         from affectgpt_tpu.models import qwen2
 
+        assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"
         frozen = dict(frozen)
-        frozen["llm"] = qwen2.quantize_params(frozen["llm"])
+        frozen["llm"] = qwen2.quantize_params(frozen["llm"], bits=4 if args.int4 else 8)
     mesh = None
     if args.tp > 1:
         from affectgpt_tpu.parallel import mesh as mesh_lib

@@ -65,6 +65,87 @@ class TestQuantizedDecoder:
         assert np.isfinite(q).all()
 
 
+class TestW4:
+    def test_int4_grouped_roundtrip(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 128)) * 3.0
+        w_p, scales = quant.quantize_int4_grouped(w, group_size=128)
+        assert w_p.dtype == jnp.int8 and w_p.shape == (128, 128)
+        assert scales.shape == (2, 128)
+        lo, hi = quant._unpack_int4(np.asarray(w_p, dtype=np.int32))
+        q = np.concatenate([lo, hi], axis=0)
+        assert q.min() >= -7 and q.max() <= 7
+        deq = (q.reshape(2, 128, 128) * np.asarray(scales)[:, None, :]).reshape(256, 128)
+        err = np.abs(deq - np.asarray(w))
+        # error bounded by half an int4 step per group
+        bound = np.repeat(np.asarray(scales), 128, axis=0) * 0.51
+        assert (err <= bound).all()
+
+    def test_int4_matmul_xla_close_to_fp(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (8, 256), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(2), (256, 512)) * 0.1
+        w_p, scales = quant.quantize_int4_grouped(w)
+        got = np.asarray(quant.int4_matmul_xla(x, w_p, scales))
+        # exact semantics: matches a dequantized-weight matmul to bf16 rounding
+        lo, hi = quant._unpack_int4(np.asarray(w_p, dtype=np.int32))
+        q = np.concatenate([lo, hi], axis=0).astype(np.float32)
+        wd = (q.reshape(2, 128, 512) * np.asarray(scales)[:, None, :]).reshape(256, 512)
+        deq_ref = np.asarray(x) @ wd
+        rel_deq = np.abs(got - deq_ref).max() / (np.abs(deq_ref).max() + 1e-6)
+        assert rel_deq < 0.01, rel_deq
+        # loose sanity vs fp (inherent int4 grid noise, measured ~0.11)
+        ref = np.asarray(x @ w)
+        rel_fp = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert rel_fp < 0.2, rel_fp
+
+    def test_int4_pallas_interpret_matches_xla(self):
+        # K=512 → packed 256 rows → two 128-wide subgroups per nibble half
+        x = jax.random.normal(jax.random.PRNGKey(3), (8, 512), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(4), (512, 256)) * 0.1
+        w_p, scales = quant.quantize_int4_grouped(w)
+        xla = np.asarray(quant.int4_matmul_xla(x, w_p, scales))
+        pal = np.asarray(quant.int4_matmul(x, w_p, scales, block_n=256, interpret=True))
+        np.testing.assert_allclose(pal, xla, rtol=2e-2, atol=2e-2)
+
+    def test_dense_tree_bits4_with_int8_fallback(self):
+        tree = {
+            "big": {"w": jnp.ones((256, 16)), "b": jnp.zeros(16)},
+            "small": {"w": jnp.ones((8, 16))},  # K=8 not int4-groupable
+        }
+        out = quant.quantize_dense_tree(tree, bits=4)
+        assert "w_q4" in out["big"] and "b" in out["big"]
+        assert "w_q" in out["small"]
+
+    def test_int4_decoder_forward_close_to_fp(self):
+        cfg = qwen2.QwenConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            rope_theta=10_000.0, lora_r=2, lora_alpha=4.0,
+        )
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        qparams = qwen2.quantize_params(params, bits=4)
+        leaves = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda _: 0, qparams["layers"][0]["q_proj"])
+        )
+        assert "w_q4" in qparams["layers"][0]["q_proj"], leaves
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
+        embeds = qwen2.embed_tokens(params, ids)
+        mask = jnp.ones((2, 6))
+        fp_logits, _ = qwen2.forward(params, cfg, embeds, mask)
+        q_logits, _ = qwen2.forward(qparams, cfg, embeds, mask)
+        fp = np.asarray(fp_logits).reshape(-1, cfg.vocab_size)
+        q = np.asarray(q_logits).reshape(-1, cfg.vocab_size)
+        # random weights give near-uniform logits, so argmax agreement is a
+        # weak signal at int4 noise levels — gate on logit-direction cosine
+        # (measured ≥0.96) plus a loose argmax floor
+        cos = (fp * q).sum(-1) / (
+            np.linalg.norm(fp, axis=-1) * np.linalg.norm(q, axis=-1) + 1e-9
+        )
+        assert cos.min() >= 0.9, cos.min()
+        agreement = (fp.argmax(-1) == q.argmax(-1)).mean()
+        assert agreement >= 0.5, agreement
+        assert np.isfinite(q).all()
+
+
 class TestW8A8:
     def test_w8a8_close_to_fp(self):
         x = jax.random.normal(jax.random.PRNGKey(7), (16, 256), jnp.float32)
