@@ -129,15 +129,16 @@ def paged_attention_auto(
     k_scale=None, v_scale=None, use_pallas: bool = True,
 ) -> jnp.ndarray:
     """Dispatch: Pallas kernel on TPU (double-buffered page DMA via
-    scalar-prefetched block tables), XLA gather elsewhere. Quantized pools
-    (scales given) always take the XLA path — the Pallas kernel streams
-    bf16 pages. use_pallas=False forces the XLA path (required when the
-    pools are tp-sharded: a pallas_call is opaque to the SPMD partitioner)."""
-    if use_pallas and jax.default_backend() == "tpu" and k_scale is None:
+    scalar-prefetched block tables; int8 pools stream half the page bytes
+    with scales folded in-kernel), XLA gather elsewhere. use_pallas=False
+    forces the XLA path (required when the pools are tp-sharded: a
+    pallas_call is opaque to the SPMD partitioner)."""
+    if use_pallas and jax.default_backend() == "tpu":
         from affectgpt_tpu.ops.paged_attention_pallas import paged_attention_pallas
 
         return paged_attention_pallas(
-            q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads
+            q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads,
+            k_scale=k_scale, v_scale=v_scale,
         )
     return paged_attention(
         q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads, k_scale, v_scale

@@ -33,6 +33,39 @@ def test_kernel_matches_xla_reference(seq_lens):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("seq_lens", [[7, 13], [16, 3]])
+def test_int8_pool_kernel_matches_xla_reference(seq_lens):
+    """int8 pools + per-row scale side-pages through _kernel_int8 must match
+    the XLA gather path's scale-folded attention exactly."""
+    b, heads, kv, d = 2, 4, 2, 8
+    block, num_blocks, max_blocks = 4, 16, 4
+    rng = np.random.RandomState(2)
+
+    q = jnp.asarray(rng.randn(b, heads, d), jnp.float32)
+    vals_k = rng.randn(num_blocks, block, kv, d)
+    vals_v = rng.randn(num_blocks, block, kv, d)
+    # per-(token, head) symmetric int8 quantization, as write_kv produces
+    ks = np.abs(vals_k).max(-1, keepdims=True) / 127.0 + 1e-9
+    vs = np.abs(vals_v).max(-1, keepdims=True) / 127.0 + 1e-9
+    pool_k = jnp.asarray(np.round(vals_k / ks), jnp.int8)
+    pool_v = jnp.asarray(np.round(vals_v / vs), jnp.int8)
+    k_scale = jnp.asarray(ks, jnp.float32)
+    v_scale = jnp.asarray(vs, jnp.float32)
+
+    tables = np.zeros((b, max_blocks), np.int32)
+    tables[0] = [1, 2, 3, 4]
+    tables[1] = [5, 6, 7, 8]
+    tables = jnp.asarray(tables)
+    lens = jnp.asarray(seq_lens, jnp.int32)
+
+    ref = paged_attention(q, pool_k, pool_v, tables, lens, kv, k_scale, v_scale)
+    got = paged_attention_pallas(
+        q, pool_k, pool_v, tables, lens, kv, k_scale=k_scale, v_scale=v_scale,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_kernel_single_block_sequence():
     b, heads, kv, d = 1, 2, 1, 8
     block, num_blocks, max_blocks = 8, 4, 2
