@@ -26,7 +26,10 @@ logger = logging.getLogger(__name__)
 
 
 def build_tokenizer(model_cfg_node: dict):
-    llm_name = (model_cfg_node or {}).get("llama_model_name", "Qwen25")
+    node = model_cfg_node or {}
+    llm_name = node.get(
+        "llama_model", node.get("llama_model_name", node.get("llm_name", "Qwen25"))
+    )
     llm_dir = paths.PATH_TO_LLM.get(llm_name, "")
     if llm_dir and os.path.isdir(llm_dir):
         return load_tokenizer(llm_name)
@@ -95,12 +98,17 @@ def build_model(
                 jax.random.fold_in(rng, 2), aud_spec.make_config(), dtype
             )
 
-    llm_name = node.get("llama_model_name", "Qwen25")
+    llm_name = node.get(
+        "llama_model", node.get("llama_model_name", node.get("llm_name", "Qwen25"))
+    )
     llm_dir = paths.PATH_TO_LLM.get(llm_name, "")
     if llm_dir and os.path.isdir(llm_dir):
         logger.info("Converting LLM weights from %s", llm_dir)
+        llm_convert = (
+            convert.convert_baichuan2 if llm_name == "Baichuan2" else convert.convert_qwen2
+        )
         frozen["llm"] = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype=dtype), convert.convert_qwen2(llm_dir)
+            lambda x: jnp.asarray(x, dtype=dtype), llm_convert(llm_dir)
         )
     # encoder weights via the registry zoo (visual_encoder/acoustic_encoder
     # YAML keys carry the reference's names; reference affectgpt.py:141-148)

@@ -87,6 +87,7 @@ class AffectGPTConfig:
                 tie_embeddings=True, **kw,
             ),
             "Llama2": qwen2.QwenConfig.llama2_7b,
+            "Baichuan2": qwen2.QwenConfig.baichuan2_7b,
             "tiny": qwen2.QwenConfig.tiny,
         }
         llm_kwargs = {}

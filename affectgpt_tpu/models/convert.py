@@ -102,6 +102,57 @@ def convert_qwen2(model_dir: str, dtype=np.float32) -> dict:
 convert_llama = convert_qwen2
 
 
+def convert_baichuan2(model_dir: str, dtype=np.float32) -> dict:
+    """HF Baichuan2-7B (BaichuanForCausalLM, trust_remote_code) state →
+    qwen2.init_params layout — the reference's third LLM family
+    (affectgpt.py:92-103, tokenizer.py:32-35). Two deltas vs Llama:
+
+    - W_pack: q/k/v are one fused [3·hidden, hidden] matrix → split here.
+    - NormHead: Baichuan2's head L2-normalizes its weight rows on every
+      forward (modeling_baichuan.py NormHead). The served weights are
+      static, so the normalization folds in at conversion time and the
+      runtime lm_head stays a plain matmul.
+    """
+    state = _load_torch_state(model_dir)
+
+    def cast(tree):
+        import jax
+
+        return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), tree)
+
+    layers = []
+    i = 0
+    while f"model.layers.{i}.self_attn.W_pack.weight" in state:
+        p = f"model.layers.{i}"
+        w_pack = state[f"{p}.self_attn.W_pack.weight"]  # [3h, h]
+        h = w_pack.shape[1]
+        assert w_pack.shape[0] == 3 * h, w_pack.shape
+        q_w, k_w, v_w = (np.ascontiguousarray(w.T) for w in np.split(w_pack, 3, axis=0))
+        layers.append(
+            {
+                "q_proj": {"w": q_w},
+                "k_proj": {"w": k_w},
+                "v_proj": {"w": v_w},
+                "o_proj": _dense(state, f"{p}.self_attn.o_proj", bias=False),
+                "gate_proj": _dense(state, f"{p}.mlp.gate_proj", bias=False),
+                "up_proj": _dense(state, f"{p}.mlp.up_proj", bias=False),
+                "down_proj": _dense(state, f"{p}.mlp.down_proj", bias=False),
+                "input_ln": {"scale": state[f"{p}.input_layernorm.weight"]},
+                "post_attn_ln": {"scale": state[f"{p}.post_attention_layernorm.weight"]},
+            }
+        )
+        i += 1
+    head = state["lm_head.weight"]  # [vocab, h]
+    head = head / np.maximum(np.linalg.norm(head, axis=-1, keepdims=True), 1e-7)
+    params = {
+        "embed_tokens": {"table": state["model.embed_tokens.weight"]},
+        "layers": layers,
+        "final_ln": {"scale": state["model.norm.weight"]},
+        "lm_head": {"w": np.ascontiguousarray(head.T)},
+    }
+    return cast(params)
+
+
 def llm_config_from_hf(model_dir: str, lora_r: int = 16):
     """Build a qwen2.QwenConfig from an HF checkpoint's config.json —
     covers Qwen2/2.5 and Llama-2 geometries (vocab, dims, GQA heads,
@@ -113,7 +164,7 @@ def llm_config_from_hf(model_dir: str, lora_r: int = 16):
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
     arch = (hf.get("architectures") or [""])[0]
-    is_llama = "Llama" in arch
+    is_llama = "Llama" in arch or "Baichuan" in arch  # both families: no qkv bias
     heads = int(hf["num_attention_heads"])
     return qwen2.QwenConfig(
         vocab_size=int(hf["vocab_size"]),

@@ -63,6 +63,18 @@ class QwenConfig:
         )
 
     @classmethod
+    def baichuan2_7b(cls, vocab_size: int = 125696, lora_r: int = 16):
+        """Baichuan2-7B geometry — the reference's third LLM family
+        (my_affectgpt/models/affectgpt.py:92-103, trust_remote_code branch).
+        Llama-shaped: MHA, no qkv bias, rope 10k, eps 1e-6; the fused
+        W_pack and NormHead deltas are handled in convert.convert_baichuan2."""
+        return cls(
+            vocab_size=vocab_size, hidden_size=4096, intermediate_size=11008,
+            num_layers=32, num_heads=32, num_kv_heads=32, head_dim=128,
+            rope_theta=10_000.0, rms_eps=1e-6, qkv_bias=False, lora_r=lora_r,
+        )
+
+    @classmethod
     def tiny(cls, vocab_size: int = 300, lora_r: int = 2):
         return cls(
             vocab_size=vocab_size, hidden_size=32, intermediate_size=64,

@@ -47,7 +47,14 @@ def load_tokenizer(model_name: str) -> TokenizerWrapper:
     models/tokenizer.py:31-45)."""
     from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(paths.PATH_TO_LLM[model_name], use_fast=True)
+    if model_name == "Baichuan2":
+        # Baichuan2 ships a sentencepiece tokenizer behind remote code
+        # (reference tokenizer.py:32-33: use_fast=False, trust_remote_code)
+        tokenizer = AutoTokenizer.from_pretrained(
+            paths.PATH_TO_LLM[model_name], use_fast=False, trust_remote_code=True
+        )
+    else:
+        tokenizer = AutoTokenizer.from_pretrained(paths.PATH_TO_LLM[model_name], use_fast=True)
     if model_name in ("Qwen2", "Qwen25"):
         tokenizer.bos_token = "<|im_start|>"
     tokenizer.pad_token = tokenizer.eos_token

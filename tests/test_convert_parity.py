@@ -109,6 +109,69 @@ class TestLlamaParity:
         np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3, rtol=2e-3)
 
 
+class TestBaichuan2Parity:
+    def test_logits_match_reference_semantics(self, tmp_path):
+        """Baichuan2 family (reference affectgpt.py:92-103 trust_remote_code
+        branch). transformers has no Baichuan class, so the reference
+        numerics come from an HF Llama (same decoder math: MHA, no bias,
+        rope 10k) whose lm_head is row-normalized the way Baichuan2's
+        NormHead does at runtime; the converter sees a Baichuan-format
+        state dict (fused W_pack, raw NormHead weight) and must fold both
+        deltas to match."""
+        from transformers import LlamaConfig, LlamaForCausalLM
+
+        hf_cfg = LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            head_dim=8, rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=False, attn_implementation="eager",
+            attention_bias=False, mlp_bias=False,
+        )
+        torch.manual_seed(3)
+        model = LlamaForCausalLM(hf_cfg).eval()
+
+        # fabricate the Baichuan2-format state dict from the Llama weights
+        sd = {k: v.clone() for k, v in model.state_dict().items()}
+        bc_state = {}
+        for i in range(hf_cfg.num_hidden_layers):
+            p = f"model.layers.{i}"
+            bc_state[f"{p}.self_attn.W_pack.weight"] = torch.cat(
+                [sd.pop(f"{p}.self_attn.{n}_proj.weight") for n in ("q", "k", "v")], dim=0
+            )
+            sd.pop(f"{p}.self_attn.rotary_emb.inv_freq", None)
+        bc_state.update(sd)
+        model_dir = tmp_path / "baichuan"
+        model_dir.mkdir()
+        torch.save(bc_state, model_dir / "pytorch_model.bin")
+        import json
+
+        (model_dir / "config.json").write_text(json.dumps({
+            "architectures": ["BaichuanForCausalLM"],
+            "vocab_size": 128, "hidden_size": 32, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "rms_norm_eps": 1e-6,
+        }))
+
+        params = convert.convert_baichuan2(str(model_dir))
+        cfg = convert.llm_config_from_hf(str(model_dir))
+        assert not cfg.qkv_bias and cfg.num_kv_heads == cfg.num_heads == 4
+        assert cfg.rope_theta == 10000.0
+
+        # reference logits: Llama forward with the NormHead normalization
+        # applied to its (static) head weight
+        with torch.no_grad():
+            w = model.lm_head.weight
+            model.lm_head.weight.copy_(torch.nn.functional.normalize(w, dim=-1))
+        ids = np.random.RandomState(3).randint(0, 128, (2, 9))
+        with torch.no_grad():
+            hf_logits = model(torch.tensor(ids)).logits.numpy()
+
+        params = jax.tree.map(jnp.asarray, params)
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+        logits, _ = qwen2.forward(params, cfg, embeds, jnp.ones(ids.shape))
+        np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3, rtol=2e-3)
+
+
 class TestClipParity:
     def test_image_features_match_hf(self, tmp_path):
         from transformers import CLIPConfig, CLIPModel
