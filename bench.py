@@ -40,6 +40,9 @@ NEW_TOKENS = int(os.environ.get("BENCH_NEW_TOKENS", 32))
 MAX_LEN = max(int(os.environ.get("BENCH_MAX_LEN", 192)), PROMPT_LEN + NEW_TOKENS)
 # 7b weight precision: 4 (group-128 int4, default — bf16 doesn't fit) or 8
 BITS = int(os.environ.get("BENCH_BITS", 4))
+# 3b mixed-precision decode: quantize a second decode-only weight copy
+# (generate(decode_llm=...); bf16 prefill stays). 0 = off (default).
+DECODE_BITS = int(os.environ.get("BENCH_DECODE_BITS", 0))
 
 
 def qwen_3b_config():
@@ -116,28 +119,40 @@ def main():
     input_ids, feats, offsets = make_clip_batch(cfg, BATCH)
     lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
 
+    decode_llm = None
+    if DECODE_BITS and GEOMETRY != "7b":
+        from affectgpt_tpu.models import qwen2 as _q
+
+        # quantize on device (jit) — the bf16 master is already resident
+        decode_llm = jax.jit(lambda p: _q.quantize_params(p, bits=DECODE_BITS))(
+            frozen["llm"]
+        )
+
     @jax.jit
-    def clip_to_tokens(frozen, trainable, input_ids, feats, offsets, lengths, rng):
+    def clip_to_tokens(frozen, trainable, decode_llm, input_ids, feats, offsets, lengths, rng):
         embeds = affectgpt.build_inputs_embeds(
             frozen, trainable, cfg, input_ids, feats, offsets
         )
         return gen.generate(
             frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
-            max_len=MAX_LEN, lora=trainable["lora"],
+            max_len=MAX_LEN, lora=trainable["lora"], decode_llm=decode_llm,
         )
 
     rng = jax.random.PRNGKey(0)
     # warmup + compile. NOTE: on the axon relay backend block_until_ready is
     # not a reliable fence — a device→host transfer is, so every timing
     # boundary fetches the (tiny) token array.
-    tokens, nv = clip_to_tokens(frozen, trainable, input_ids, feats, offsets, lengths, rng)
+    tokens, nv = clip_to_tokens(
+        frozen, trainable, decode_llm, input_ids, feats, offsets, lengths, rng
+    )
     np.asarray(tokens)
 
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
         tokens, nv = clip_to_tokens(
-            frozen, trainable, input_ids, feats, offsets, lengths, jax.random.fold_in(rng, i)
+            frozen, trainable, decode_llm, input_ids, feats, offsets, lengths,
+            jax.random.fold_in(rng, i),
         )
         np.asarray(tokens)
     dt = time.perf_counter() - t0
@@ -151,7 +166,11 @@ def main():
                     + (
                         f"(7B flagship LLM, int{BITS} weights, {NEW_TOKENS}-tok decode, batch {BATCH})"
                         if GEOMETRY == "7b"
-                        else f"(3B-class LLM, bf16, {NEW_TOKENS}-tok decode, batch {BATCH})"
+                        else (
+                            "(3B-class LLM, bf16"
+                            + (f" prefill + int{DECODE_BITS} decode" if DECODE_BITS else "")
+                            + f", {NEW_TOKENS}-tok decode, batch {BATCH})"
+                        )
                     )
                 ),
                 "value": round(clips_per_sec, 2),
