@@ -171,6 +171,36 @@ def _int8_shapes_ok(x2d, w_q, block_m: int = 256, block_n: int = 512, block_k: i
     )
 
 
+def merge_lora(params: dict, lora: dict, cfg: QwenConfig) -> dict:
+    """Fold trained LoRA adapters into the base weights for SERVING:
+    W' = W + (α/r)·A·B, exactly the parallel-branch math in _lora_dense.
+    A decode step then skips 2 adapter dots per projection (~400 small ops
+    per step at 7B — measurable per-step overhead); quantization applied
+    AFTER merging also sees the adapted weights (standard deploy practice,
+    mirrors PEFT merge_and_unload which the reference relies on HF for).
+    Training keeps adapters separate (gradients need them)."""
+    scaling = cfg.lora_alpha / cfg.lora_r
+    out = dict(params)
+    layers = []
+    for layer, lora_layer in zip(params["layers"], lora["layers"]):
+        merged = dict(layer)
+        for name in _LORA_TARGETS:
+            if name not in lora_layer:
+                continue
+            ab = jnp.dot(
+                lora_layer[name]["a"].astype(jnp.float32),
+                lora_layer[name]["b"].astype(jnp.float32),
+            )
+            base = dict(layer[name])
+            base["w"] = (base["w"].astype(jnp.float32) + scaling * ab).astype(
+                layer[name]["w"].dtype
+            )
+            merged[name] = base
+        layers.append(merged)
+    out["layers"] = layers
+    return out
+
+
 def quantize_params(params: dict, bits: int = 8) -> dict:
     """Quantize the decoder projection weights for serving (bits=8 per-channel
     int8, bits=4 group-128 int4 — halves the decode HBM read again); embeddings

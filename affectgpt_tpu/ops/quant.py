@@ -390,4 +390,6 @@ MATMUL_MODE = "w8"
 # HBM-bound, quantized bytes are the traffic) from prefill-shaped matmuls
 # (XLA dequant path; compute-bound, transient bf16 weights run the MXU at
 # full rate and XLA's own blocking reuses them across all M tiles).
-PALLAS_DEQUANT_MAX_M = 1024
+# Env-tunable: AFFECTGPT_PALLAS_MAX_M=0 forces the XLA path everywhere
+# (for int8, XLA fuses the int8→bf16 convert into the dot — no transient).
+PALLAS_DEQUANT_MAX_M = int(__import__("os").environ.get("AFFECTGPT_PALLAS_MAX_M", 1024))

@@ -133,9 +133,12 @@ def main():
         embeds = affectgpt.build_inputs_embeds(
             frozen, trainable, cfg, input_ids, feats, offsets
         )
+        # lora=None: the serving path folds LoRA into the weights at load
+        # time (qwen2.merge_lora, inference_hybird default) — identical
+        # outputs, no per-step adapter matmuls
         return gen.generate(
             frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
-            max_len=MAX_LEN, lora=trainable["lora"], decode_llm=decode_llm,
+            max_len=MAX_LEN, lora=None, decode_llm=decode_llm,
         )
 
     rng = jax.random.PRNGKey(0)

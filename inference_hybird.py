@@ -58,6 +58,12 @@ def parse_args():
                         help="int4 serving mode (group-128 quantized decoder "
                              "weights; halves the decode HBM read again vs "
                              "int8 — the 7B-flagship-on-one-chip path)")
+    parser.add_argument("--no_merge_lora", action="store_true",
+                        help="keep LoRA adapters as a parallel branch instead "
+                             "of folding them into the serving weights (merge "
+                             "is the default: skips ~2 adapter matmuls per "
+                             "projection per decode step, and quantization "
+                             "sees the adapted weights)")
     parser.add_argument("--paged", action="store_true",
                         help="serve through the paged-KV continuous-batching engine "
                              "(top-p sampling; HBM bounded by tokens in flight)")
@@ -105,12 +111,14 @@ def main() -> None:
     cfg = Config.from_file(args.cfg_path, args.options) if args.cfg_path else Config.from_dict({})
 
     model_cfg, frozen, trainable, tokenizer = build_model(cfg, with_encoders=True)
-    if args.int8 or args.int4:
+    assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"
+    quant_bits = 4 if args.int4 else (8 if args.int8 else None)
+    merge = not args.no_merge_lora
+    if quant_bits and not merge:
         from affectgpt_tpu.models import qwen2
 
-        assert not (args.int8 and args.int4), "--int8 and --int4 are exclusive"
         frozen = dict(frozen)
-        frozen["llm"] = qwen2.quantize_params(frozen["llm"], bits=4 if args.int4 else 8)
+        frozen["llm"] = qwen2.quantize_params(frozen["llm"], bits=quant_bits)
     mesh = None
     if args.tp > 1:
         from affectgpt_tpu.parallel import mesh as mesh_lib
@@ -120,7 +128,8 @@ def main() -> None:
             f"--tp {args.tp} needs {args.tp} devices, found {len(devices)}"
         )
         mesh = mesh_lib.create_mesh(devices[: args.tp], tp=args.tp)
-        frozen = mesh_lib.shard_params(mesh, frozen)
+        if not merge:
+            frozen = mesh_lib.shard_params(mesh, frozen)
     inference_cfg = cfg.inference
 
     datasets = (
@@ -154,11 +163,26 @@ def main() -> None:
             checkpoint.apply_checkpoint_overlays(trainable, ckpt_path)
             if ckpt_path else trainable
         )
+        serve_frozen = frozen
+        if merge:
+            # fold this epoch's LoRA into the serving weights (then quantize
+            # the adapted weights) — decode skips the adapter matmuls
+            from affectgpt_tpu.models import qwen2
+
+            llm = serve_frozen["llm"]
+            if epoch_trainable.get("lora") is not None:
+                llm = qwen2.merge_lora(llm, epoch_trainable["lora"], model_cfg.llm)
+                epoch_trainable = {**epoch_trainable, "lora": None}
+            if quant_bits:
+                llm = qwen2.quantize_params(llm, bits=quant_bits)
+            serve_frozen = {**serve_frozen, "llm": llm}
         if mesh is not None:
             from affectgpt_tpu.parallel import mesh as mesh_lib
 
             epoch_trainable = mesh_lib.shard_params(mesh, epoch_trainable)
-        chat = Chat(frozen, epoch_trainable, model_cfg, tokenizer,
+            if merge:
+                serve_frozen = mesh_lib.shard_params(mesh, serve_frozen)
+        chat = Chat(serve_frozen, epoch_trainable, model_cfg, tokenizer,
                     kv_cache_dtype=inference_cfg.get("kv_cache_dtype"),
                     mesh=mesh)
         run_datasets(

@@ -146,6 +146,27 @@ class TestW4:
         assert np.isfinite(q).all()
 
 
+class TestMergeLora:
+    def test_merged_forward_matches_parallel_branch(self):
+        """merge_lora folds W + (α/r)·A·B so a lora=None forward must match
+        the parallel-branch forward (the serving-path optimization that
+        drops ~2 adapter matmuls per projection per decode step)."""
+        cfg = qwen2.QwenConfig.tiny()
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        lora = qwen2.init_lora(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+        # B inits to zero (identity adapter) — give it real values
+        lora = jax.tree_util.tree_map(
+            lambda x: x + 0.05 * jax.random.normal(jax.random.PRNGKey(2), x.shape), lora
+        )
+        ids = jax.random.randint(jax.random.PRNGKey(3), (2, 7), 0, cfg.vocab_size)
+        embeds = qwen2.embed_tokens(params, ids)
+        mask = jnp.ones((2, 7))
+        ref, _ = qwen2.forward(params, cfg, embeds, mask, lora=lora)
+        merged = qwen2.merge_lora(params, lora, cfg)
+        got, _ = qwen2.forward(merged, cfg, embeds, mask, lora=None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
 class TestW8A8:
     def test_w8a8_close_to_fp(self):
         x = jax.random.normal(jax.random.PRNGKey(7), (16, 256), jnp.float32)
