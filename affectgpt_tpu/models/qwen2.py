@@ -201,6 +201,42 @@ def merge_lora(params: dict, lora: dict, cfg: QwenConfig) -> dict:
     return out
 
 
+def fuse_qkv_gateup(params: dict, cfg: QwenConfig) -> dict:
+    """Serving-layout transform: concatenate q/k/v into one [h, nq+2·nkv]
+    matmul and gate/up into one [h, 2·I] matmul. Exactly equal math (a dot
+    against concatenated columns computes each output column identically,
+    and per-output-channel quantization commutes with the concat), but a
+    decode step runs 3 fewer matmul ops per layer — q=1 decode is op-
+    dispatch-bound, not FLOPs-bound. Apply AFTER merge_lora and BEFORE
+    quantize_params; single-chip layout only (a tp mesh would shard the
+    concatenated columns across the q/k/v boundary)."""
+    layers = []
+    for layer in params["layers"]:
+        assert "w" in layer["q_proj"], "fuse_qkv_gateup expects unquantized weights"
+        fused = {
+            k: v
+            for k, v in layer.items()
+            if k not in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+        }
+        qkv = {
+            "w": jnp.concatenate(
+                [layer[n]["w"] for n in ("q_proj", "k_proj", "v_proj")], axis=1
+            )
+        }
+        if "b" in layer["q_proj"]:
+            qkv["b"] = jnp.concatenate(
+                [layer[n]["b"] for n in ("q_proj", "k_proj", "v_proj")]
+            )
+        fused["qkv_proj"] = qkv
+        fused["gateup_proj"] = {
+            "w": jnp.concatenate(
+                [layer["gate_proj"]["w"], layer["up_proj"]["w"]], axis=1
+            )
+        }
+        layers.append(fused)
+    return {**params, "layers": layers}
+
+
 def quantize_params(params: dict, bits: int = 8) -> dict:
     """Quantize the decoder projection weights for serving (bits=8 per-channel
     int8, bits=4 group-128 int4 — halves the decode HBM read again); embeddings
@@ -214,7 +250,9 @@ def quantize_params(params: dict, bits: int = 8) -> dict:
     return out
 
 
-def init_quantized_params(rng: jax.Array, cfg: QwenConfig, bits: int = 4, dtype=jnp.bfloat16) -> dict:
+def init_quantized_params(
+    rng: jax.Array, cfg: QwenConfig, bits: int = 4, dtype=jnp.bfloat16, fused: bool = False
+) -> dict:
     """Random decoder weights created DIRECTLY in quantized form (benchmark /
     smoke-test utility): at 7B geometry the bf16 master tree (15.2 GB) does
     not fit one v5e HBM, and shipping host-quantized weights through the axon
@@ -245,8 +283,15 @@ def init_quantized_params(rng: jax.Array, cfg: QwenConfig, bits: int = 4, dtype=
     layers = []
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[i], 7)
-        layers.append(
-            {
+        if fused:  # serving layout (fuse_qkv_gateup): qkv + gateup concat
+            layer = {
+                "qkv_proj": qdense(k[0], cfg.hidden_size, n_q_dim + 2 * n_kv_dim, cfg.qkv_bias),
+                "o_proj": qdense(k[3], n_q_dim, cfg.hidden_size, False),
+                "gateup_proj": qdense(k[4], cfg.hidden_size, 2 * cfg.intermediate_size, False),
+                "down_proj": qdense(k[6], cfg.intermediate_size, cfg.hidden_size, False),
+            }
+        else:
+            layer = {
                 "q_proj": qdense(k[0], cfg.hidden_size, n_q_dim, cfg.qkv_bias),
                 "k_proj": qdense(k[1], cfg.hidden_size, n_kv_dim, cfg.qkv_bias),
                 "v_proj": qdense(k[2], cfg.hidden_size, n_kv_dim, cfg.qkv_bias),
@@ -254,10 +299,10 @@ def init_quantized_params(rng: jax.Array, cfg: QwenConfig, bits: int = 4, dtype=
                 "gate_proj": qdense(k[4], cfg.hidden_size, cfg.intermediate_size, False),
                 "up_proj": qdense(k[5], cfg.hidden_size, cfg.intermediate_size, False),
                 "down_proj": qdense(k[6], cfg.intermediate_size, cfg.hidden_size, False),
-                "input_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
-                "post_attn_ln": nn.rmsnorm_init(cfg.hidden_size, dtype=dtype),
             }
-        )
+        layer["input_ln"] = nn.rmsnorm_init(cfg.hidden_size, dtype=dtype)
+        layer["post_attn_ln"] = nn.rmsnorm_init(cfg.hidden_size, dtype=dtype)
+        layers.append(layer)
     params = {
         "embed_tokens": nn.embedding_init(keys[-3], cfg.vocab_size, cfg.hidden_size, dtype=dtype),
         "layers": layers,
@@ -355,9 +400,19 @@ def _attention(
     scaling = cfg.lora_alpha / cfg.lora_r
     lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
 
-    q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling).reshape(b, t, cfg.num_heads, cfg.head_dim)
-    k = _lora_dense(layer["k_proj"], lget("k_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    v = _lora_dense(layer["v_proj"], lget("v_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    n_q_dim = cfg.num_heads * cfg.head_dim
+    n_kv_dim = cfg.num_kv_heads * cfg.head_dim
+    if "qkv_proj" in layer:
+        # fused serving layout (fuse_qkv_gateup): one matmul, split columns
+        assert lora_layer is None, "fused layout serves merged-LoRA weights"
+        y = _lora_dense(layer["qkv_proj"], None, x, 0.0)
+        q = y[..., :n_q_dim].reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = y[..., n_q_dim : n_q_dim + n_kv_dim].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = y[..., n_q_dim + n_kv_dim :].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = _lora_dense(layer["k_proj"], lget("k_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = _lora_dense(layer["v_proj"], lget("v_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
 
     q = _rope(q, positions, cfg.rope_theta)
     k = _rope(k, positions, cfg.rope_theta)
@@ -455,8 +510,13 @@ def _attention(
 def _mlp(layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray) -> jnp.ndarray:
     scaling = cfg.lora_alpha / cfg.lora_r
     lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
-    gate = _lora_dense(layer["gate_proj"], lget("gate_proj"), x, scaling, has_bias=False)
-    up = _lora_dense(layer["up_proj"], lget("up_proj"), x, scaling, has_bias=False)
+    if "gateup_proj" in layer:
+        assert lora_layer is None, "fused layout serves merged-LoRA weights"
+        y = _lora_dense(layer["gateup_proj"], None, x, 0.0, has_bias=False)
+        gate, up = jnp.split(y, 2, axis=-1)
+    else:
+        gate = _lora_dense(layer["gate_proj"], lget("gate_proj"), x, scaling, has_bias=False)
+        up = _lora_dense(layer["up_proj"], lget("up_proj"), x, scaling, has_bias=False)
     return _lora_dense(layer["down_proj"], lget("down_proj"), jax.nn.silu(gate) * up, scaling, has_bias=False)
 
 

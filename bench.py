@@ -43,6 +43,10 @@ BITS = int(os.environ.get("BENCH_BITS", 4))
 # 3b mixed-precision decode: quantize a second decode-only weight copy
 # (generate(decode_llm=...); bf16 prefill stays). 0 = off (default).
 DECODE_BITS = int(os.environ.get("BENCH_DECODE_BITS", 0))
+# KV-cache dtype: "int8" halves decode cache reads (lossy; off by default)
+KV = os.environ.get("BENCH_KV", "")
+# decode attention: "pallas" = fused single-kernel chain (qwen2.DECODE_ATTENTION)
+DECODE_ATTN = os.environ.get("BENCH_DECODE_ATTN", "")
 
 
 def qwen_3b_config():
@@ -54,7 +58,7 @@ def qwen_3b_config():
     )
 
 
-def build(llm_cfg, dtype=jnp.bfloat16, quant_bits=None):
+def build(llm_cfg, dtype=jnp.bfloat16, quant_bits=None, fused=False):
     from affectgpt_tpu.models import affectgpt, qwen2
 
     cfg = affectgpt.AffectGPTConfig(
@@ -70,7 +74,8 @@ def build(llm_cfg, dtype=jnp.bfloat16, quant_bits=None):
         # would not fit one v5e HBM; see qwen2.init_quantized_params)
         frozen = {
             "llm": qwen2.init_quantized_params(
-                jax.random.PRNGKey(0), cfg.llm, bits=quant_bits, dtype=dtype
+                jax.random.PRNGKey(0), cfg.llm, bits=quant_bits, dtype=dtype,
+                fused=fused,
             )
         }
     trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg, dtype=dtype)
@@ -106,11 +111,19 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", flush=True)
 
+    if DECODE_ATTN:
+        from affectgpt_tpu.models import qwen2 as _q
+
+        _q.DECODE_ATTENTION = DECODE_ATTN
     if GEOMETRY == "7b":
         from affectgpt_tpu.models import qwen2
 
         llm_cfg = qwen2.QwenConfig.qwen25_7b()
-        cfg, frozen, trainable = build(llm_cfg, quant_bits=BITS)
+        # BENCH_FUSED=1 (default): qkv + gate/up concatenated serving layout
+        # (inference_hybird dense-engine default)
+        cfg, frozen, trainable = build(
+            llm_cfg, quant_bits=BITS, fused=bool(int(os.environ.get("BENCH_FUSED", 1)))
+        )
     else:
         llm_cfg = qwen_3b_config()
         cfg, frozen, trainable = build(llm_cfg)
@@ -139,6 +152,7 @@ def main():
         return gen.generate(
             frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
             max_len=MAX_LEN, lora=None, decode_llm=decode_llm,
+            cache_dtype=jnp.int8 if KV == "int8" else None,
         )
 
     rng = jax.random.PRNGKey(0)

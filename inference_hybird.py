@@ -173,6 +173,11 @@ def main() -> None:
             if epoch_trainable.get("lora") is not None:
                 llm = qwen2.merge_lora(llm, epoch_trainable["lora"], model_cfg.llm)
                 epoch_trainable = {**epoch_trainable, "lora": None}
+            if mesh is None and not args.paged:
+                # single-chip dense engine: concat qkv and gate/up (3 fewer
+                # ops per layer per decode step; tp shards and the paged
+                # engine keep the split layout)
+                llm = qwen2.fuse_qkv_gateup(llm, model_cfg.llm)
             if quant_bits:
                 llm = qwen2.quantize_params(llm, bits=quant_bits)
             serve_frozen = {**serve_frozen, "llm": llm}

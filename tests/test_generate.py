@@ -184,3 +184,33 @@ class TestInt8KVCache:
             PARAMS, CFG, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
             decode_llm=q_params, cache_dtype=jnp.int8)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_int4_weights_plus_int8_cache_compose(self):
+        """W4 + int8 KV: true int4 leaves need int4-groupable dims, so this
+        uses a 256-dim config (tiny's K=32 falls back to int8). Greedy tokens
+        through the full generate() stack must stay finite and shaped; logits
+        noise at int4 means token equality is not asserted on random weights
+        (tiny-model converter parity covers numerics)."""
+        cfg = qwen2.QwenConfig(
+            vocab_size=512, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            rope_theta=10_000.0, lora_r=2, lora_alpha=4.0,
+        )
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        q_params = qwen2.quantize_params(params, bits=4)
+        assert "w_q4" in q_params["layers"][0]["q_proj"]
+        gcfg = gen.GenerateConfig(max_new_tokens=5, do_sample=False, eos_token_id=511)
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, cfg.vocab_size)
+        embeds = qwen2.embed_tokens(params, ids)
+        lengths = jnp.array([5, 4])
+        # int4 weights for BOTH prefill and decode, int8 KV cache
+        toks, nv = gen.generate(
+            q_params, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
+            cache_dtype=jnp.int8)
+        assert np.asarray(toks).shape == (2, 5)
+        assert ((np.asarray(toks) >= 0) & (np.asarray(toks) < 512)).all()
+        # and as a decode_llm on a fp prefill
+        toks2, _ = gen.generate(
+            params, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
+            decode_llm=q_params, cache_dtype=jnp.int8)
+        assert np.asarray(toks2).shape == (2, 5)

@@ -167,6 +167,39 @@ class TestMergeLora:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
 
+class TestFusedLayout:
+    def test_fused_qkv_gateup_token_identical(self):
+        """fuse_qkv_gateup is a pure layout change: greedy decode through
+        generate() must produce byte-identical tokens vs the split layout."""
+        from affectgpt_tpu.inference import generate as gen
+
+        cfg = qwen2.QwenConfig.tiny()
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        fused = qwen2.fuse_qkv_gateup(params, cfg)
+        assert "qkv_proj" in fused["layers"][0] and "q_proj" not in fused["layers"][0]
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
+        embeds = qwen2.embed_tokens(params, ids)
+        lengths = jnp.array([6, 4])
+        gcfg = gen.GenerateConfig(max_new_tokens=6, do_sample=False, eos_token_id=257)
+        ref, _ = gen.generate(params, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16)
+        got, _ = gen.generate(fused, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_fused_then_quantized_forward(self):
+        """fuse → quantize composes (per-channel scales commute with the
+        column concat): logits match quantize-then-split within rounding."""
+        cfg = qwen2.QwenConfig.tiny()
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        q_split = qwen2.quantize_params(params)
+        q_fused = qwen2.quantize_params(qwen2.fuse_qkv_gateup(params, cfg))
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 5), 0, cfg.vocab_size)
+        embeds = qwen2.embed_tokens(params, ids)
+        mask = jnp.ones((2, 5))
+        a, _ = qwen2.forward(q_split, cfg, embeds, mask)
+        b, _ = qwen2.forward(q_fused, cfg, embeds, mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+
 class TestW8A8:
     def test_w8a8_close_to_fp(self):
         x = jax.random.normal(jax.random.PRNGKey(7), (16, 256), jnp.float32)
