@@ -119,10 +119,10 @@ def main():
         from affectgpt_tpu.models import qwen2
 
         llm_cfg = qwen2.QwenConfig.qwen25_7b()
-        # BENCH_FUSED=1 (default): qkv + gate/up concatenated serving layout
-        # (inference_hybird dense-engine default)
+        # BENCH_FUSED=1: qkv + gate/up concatenated layout (wins at b<=256,
+        # OOMs earlier — measured; default off, matching inference_hybird)
         cfg, frozen, trainable = build(
-            llm_cfg, quant_bits=BITS, fused=bool(int(os.environ.get("BENCH_FUSED", 1)))
+            llm_cfg, quant_bits=BITS, fused=bool(int(os.environ.get("BENCH_FUSED", 0)))
         )
     else:
         llm_cfg = qwen_3b_config()

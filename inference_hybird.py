@@ -58,6 +58,13 @@ def parse_args():
                         help="int4 serving mode (group-128 quantized decoder "
                              "weights; halves the decode HBM read again vs "
                              "int8 — the 7B-flagship-on-one-chip path)")
+    parser.add_argument("--fuse_qkv", action="store_true",
+                        help="concatenate qkv and gate/up into single serving "
+                             "matmuls (single-chip dense engine only). Wins at "
+                             "moderate batch (7B int8 b256: 59→64 clips/s) but "
+                             "its bigger prefill dequant transients shrink the "
+                             "max-batch envelope — the unfused layout peaks "
+                             "higher (69.8 @ b352); off by default")
     parser.add_argument("--no_merge_lora", action="store_true",
                         help="keep LoRA adapters as a parallel branch instead "
                              "of folding them into the serving weights (merge "
@@ -173,7 +180,7 @@ def main() -> None:
             if epoch_trainable.get("lora") is not None:
                 llm = qwen2.merge_lora(llm, epoch_trainable["lora"], model_cfg.llm)
                 epoch_trainable = {**epoch_trainable, "lora": None}
-            if mesh is None and not args.paged:
+            if args.fuse_qkv and mesh is None and not args.paged:
                 # single-chip dense engine: concat qkv and gate/up (3 fewer
                 # ops per layer per decode step; tp shards and the paged
                 # engine keep the split layout)

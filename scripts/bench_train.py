@@ -17,7 +17,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +30,10 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 SEQ_LEN = int(os.environ.get("TRAIN_BENCH_SEQ", 256))
-BATCHES = [int(b) for b in os.environ.get("TRAIN_BENCH_BATCH", "16,32").split(",")]
+# b16 at seq 256 OOMs one v5e: the CE loss holds [b, t, vocab] fp32 logits
+# (+ grad) ≈ 2.5 GB each at b16 on top of the 6.8 GB frozen tree
+BATCHES = [int(b) for b in os.environ.get("TRAIN_BENCH_BATCH", "4,8").split(",")]
+REMAT = bool(int(os.environ.get("TRAIN_BENCH_REMAT", 1)))
 
 
 def main():
@@ -54,7 +60,7 @@ def main():
     trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
     tx = optax.adamw(1e-5, weight_decay=0.05)
     state = ts.create_train_state(trainable, tx)
-    step_fn = jax.jit(ts.make_train_step(cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(ts.make_train_step(cfg, tx, remat=REMAT), donate_argnums=(0,))
 
     print(f"# device: {jax.devices()[0]}", flush=True)
     results = {}
