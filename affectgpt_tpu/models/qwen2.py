@@ -382,6 +382,12 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 # TPU-only; every other path ignores it.
 DECODE_ATTENTION = "xla"
 
+# Trace-time switch for the single-token decode MLP: "pallas" fuses
+# rmsnorm → int8 gate/up → silu·mul → int8 down → residual into one kernel
+# (ops/decode_mlp_pallas) — the q=1 decode phase is op-dispatch-bound.
+# Applies only to int8 split-layout weights on TPU at t==1.
+DECODE_MLP = "xla"
+
 
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-row int8 quantization over the trailing (head_dim) axis.
@@ -561,8 +567,31 @@ def forward(
             layer, lora_layer, cfg, h, positions, mask, layer_cache, cache_index
         )
         x = x + attn_out
-        h = nn.rmsnorm(layer["post_attn_ln"], x, cfg.rms_eps)
-        x = x + _mlp(layer, lora_layer, cfg, h)
+        if (
+            DECODE_MLP == "pallas"
+            and layer_cache is not None
+            and t == 1
+            and lora_layer is None
+            and "w_q" in layer.get("gate_proj", {})
+            and jax.default_backend() == "tpu"
+            and b % 8 == 0
+            and cfg.intermediate_size % 512 == 0
+        ):
+            # fused decode MLP: norm + 3 int8 matmuls + silu·mul + residual
+            # in one kernel (activations never round-trip HBM)
+            from affectgpt_tpu.ops.decode_mlp_pallas import decode_mlp_pallas
+
+            y = decode_mlp_pallas(
+                x[:, 0, :], layer["post_attn_ln"]["scale"],
+                layer["gate_proj"]["w_q"], layer["gate_proj"]["scales"],
+                layer["up_proj"]["w_q"], layer["up_proj"]["scales"],
+                layer["down_proj"]["w_q"], layer["down_proj"]["scales"],
+                eps=cfg.rms_eps,
+            )
+            x = y[:, None, :]
+        else:
+            h = nn.rmsnorm(layer["post_attn_ln"], x, cfg.rms_eps)
+            x = x + _mlp(layer, lora_layer, cfg, h)
         return x, updated
 
     if remat:

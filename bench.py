@@ -115,10 +115,17 @@ def main():
         from affectgpt_tpu.models import qwen2 as _q
 
         _q.DECODE_ATTENTION = DECODE_ATTN
+    if os.environ.get("BENCH_DECODE_MLP"):
+        from affectgpt_tpu.models import qwen2 as _q
+
+        _q.DECODE_MLP = os.environ["BENCH_DECODE_MLP"]
     if GEOMETRY == "7b":
         from affectgpt_tpu.models import qwen2
 
         llm_cfg = qwen2.QwenConfig.qwen25_7b()
+        layers_override = int(os.environ.get("BENCH_LAYERS", 0))
+        if layers_override:  # decode cost-structure sweeps (per-layer vs fixed)
+            llm_cfg = qwen2.QwenConfig(**{**llm_cfg.__dict__, "num_layers": layers_override})
         # BENCH_FUSED=1: qkv + gate/up concatenated layout (wins at b<=256,
         # OOMs earlier — measured; default off, matching inference_hybird)
         cfg, frozen, trainable = build(
