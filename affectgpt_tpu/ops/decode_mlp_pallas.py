@@ -2,20 +2,30 @@
 → down int8 matmul → residual, in ONE kernel call.
 
 The q=1 decode phase is op-dispatch-bound (CLAUDE.md round-2 anatomy:
-~32 ms/step at 7B b288 of which only ~13 ms is HBM traffic); each decoder
-layer's MLP alone is ~8 XLA ops whose activations bounce through HBM
-between every op. This kernel keeps the normalized activations and the
-silu(gate)·up intermediate entirely in VMEM, streams the int8 weights
+~1.06 ms/layer at 7B b288, vs a ~0.5 ms weight+cache HBM floor); each
+decoder layer's MLP alone is ~8 XLA ops whose activations bounce through
+HBM between every op. This kernel keeps the normalized activations and
+the silu(gate)·up intermediate entirely in VMEM, streams the int8 weights
 tile-by-tile (the only unavoidable HBM traffic), and writes just the
 residual-added output.
 
 Layout: the DEFAULT split serving layout (w_gate/w_up/w_down separate,
 per-channel int8 scales) — no dependence on fuse_qkv_gateup.
 
-Grid (b/bm, I/bI): intermediate-dim sequential per batch tile, f32
-accumulator for the down projection in VMEM scratch; rmsnorm recomputed
-per batch tile at j==0 (VPU-cheap). VMEM ≈ 9 MB at bm=128, bI=512,
-h=3584 — inside the ~16 MB/core budget.
+Grid (I/bI, b/bm) with the BATCH dimension innermost: consecutive steps
+revisit the same weight blocks (Pallas skips the re-DMA when a block's
+index map is unchanged), so each weight byte is fetched exactly once per
+call — a batch-outer grid was measured 4% slower e2e because it streamed
+the MLP weights once per batch tile. The normalized activations and the
+down-projection accumulator live in full-batch VMEM scratch, dynamically
+sliced per batch tile. VMEM ≈ 13 MB at b288/bI=256/h=3584 — inside the
+~16 MB/core budget.
+
+Measured verdict (7B int8 b288, one v5e): 67.7 clips/s vs 68.7 for the
+XLA op-by-op MLP — XLA's own fusion + pipelining already wins, matching
+the round-1 finding for the fused decode-attention kernel. Kept as an
+opt-in (qwen2.DECODE_MLP="pallas") for future stacks where the tradeoff
+may flip; the XLA path stays the default.
 """
 
 from __future__ import annotations
@@ -29,43 +39,46 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    x_ref,  # [bm, h] input activations (pre-norm)
+    x_ref,  # [bm, h] input activations (pre-norm), tile i
     ln_ref,  # [1, h] rmsnorm scale
-    wg_ref,  # [h, bI] int8 gate block
+    wg_ref,  # [h, bI] int8 gate block j
     sg_ref,  # [1, bI] f32 gate scales
-    wu_ref,  # [h, bI] int8 up block
+    wu_ref,  # [h, bI] int8 up block j
     su_ref,  # [1, bI] f32 up scales
-    wd_ref,  # [bI, h] int8 down block (rows j·bI …)
+    wd_ref,  # [bI, h] int8 down block j
     sd_ref,  # [1, h] f32 down scales
-    o_ref,  # [bm, h] out
-    xn_ref,  # scratch [bm, h] bf16 normalized activations
-    acc_ref,  # scratch [bm, h] f32 down accumulator
+    o_ref,  # [bm, h] out, tile i
+    xn_ref,  # scratch [b, h] bf16 normalized activations (ALL tiles)
+    acc_ref,  # scratch [b, h] f32 down accumulator (ALL tiles)
     *,
     eps: float,
+    block_m: int,
 ):
-    j = pl.program_id(1)
+    j = pl.program_id(0)  # intermediate-dim block (outer)
+    i = pl.program_id(1)  # batch tile (inner)
+    row = pl.ds(i * block_m, block_m)
 
     @pl.when(j == 0)
     def _():
         x = x_ref[:].astype(jnp.float32)
         var = jnp.mean(x * x, axis=-1, keepdims=True)
         xn = x * jax.lax.rsqrt(var + eps) * ln_ref[:].astype(jnp.float32)
-        xn_ref[:] = xn.astype(jnp.bfloat16)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        xn_ref[row, :] = xn.astype(jnp.bfloat16)
+        acc_ref[row, :] = jnp.zeros((block_m, acc_ref.shape[1]), jnp.float32)
 
-    xn = xn_ref[:]
+    xn = xn_ref[row, :]
     g = jnp.dot(xn, wg_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     g = g * sg_ref[:].astype(jnp.float32)
     u = jnp.dot(xn, wu_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     u = u * su_ref[:].astype(jnp.float32)
     a = (jax.nn.silu(g) * u).astype(jnp.bfloat16)  # [bm, bI]
-    acc_ref[:] += jnp.dot(
+    acc_ref[row, :] += jnp.dot(
         a, wd_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
     )
 
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(0) - 1)
     def _():
-        out = x_ref[:].astype(jnp.float32) + acc_ref[:] * sd_ref[:].astype(jnp.float32)
+        out = x_ref[:].astype(jnp.float32) + acc_ref[row, :] * sd_ref[:].astype(jnp.float32)
         o_ref[:] = out.astype(o_ref.dtype)
 
 
@@ -93,7 +106,7 @@ def decode_mlp_pallas(
     s_down: jnp.ndarray,  # [1, h] f32
     eps: float = 1e-6,
     block_m: int = 128,
-    block_i: int = 512,
+    block_i: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """x + down(silu(gate(rms(x))) * up(rms(x))) for the q=1 decode step."""
@@ -105,28 +118,28 @@ def decode_mlp_pallas(
     assert block_m > 0 and inter % block_i == 0, (b, inter, block_m, block_i)
 
     ln2 = ln_scale.reshape(1, h)
-    grid = (b // block_m, inter // block_i)
+    grid = (inter // block_i, b // block_m)  # batch innermost: weights DMA once
     return pl.pallas_call(
-        partial(_kernel, eps=eps),
+        partial(_kernel, eps=eps, block_m=block_m),
         out_shape=jax.ShapeDtypeStruct((b, h), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_m, h), lambda i, j: (i, 0)),  # x
-            pl.BlockSpec((1, h), lambda i, j: (0, 0)),  # ln scale
-            pl.BlockSpec((h, block_i), lambda i, j: (0, j)),  # gate block
-            pl.BlockSpec((1, block_i), lambda i, j: (0, j)),
-            pl.BlockSpec((h, block_i), lambda i, j: (0, j)),  # up block
-            pl.BlockSpec((1, block_i), lambda i, j: (0, j)),
-            pl.BlockSpec((block_i, h), lambda i, j: (j, 0)),  # down block
-            pl.BlockSpec((1, h), lambda i, j: (0, 0)),
+            pl.BlockSpec((block_m, h), lambda j, i: (i, 0)),  # x
+            pl.BlockSpec((1, h), lambda j, i: (0, 0)),  # ln scale
+            pl.BlockSpec((h, block_i), lambda j, i: (0, j)),  # gate block
+            pl.BlockSpec((1, block_i), lambda j, i: (0, j)),
+            pl.BlockSpec((h, block_i), lambda j, i: (0, j)),  # up block
+            pl.BlockSpec((1, block_i), lambda j, i: (0, j)),
+            pl.BlockSpec((block_i, h), lambda j, i: (j, 0)),  # down block
+            pl.BlockSpec((1, h), lambda j, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((block_m, h), lambda i, j: (i, 0)),
+        out_specs=pl.BlockSpec((block_m, h), lambda j, i: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((block_m, h), jnp.bfloat16),
-            pltpu.VMEM((block_m, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.bfloat16),
+            pltpu.VMEM((b, h), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * inter * 3,
