@@ -249,10 +249,10 @@ def paged_decode_step(
     if llm_cfg.tie_embeddings:
         logits = jnp.dot(x, frozen_llm["embed_tokens"]["table"].T,
                          preferred_element_type=jnp.float32)
-    elif "w_q" in frozen_llm["lm_head"]:
-        # int8-quantized weights (inference_hybird --int8): lm_head is
-        # {'w_q','scales'}, route through the same dequant matmul as
-        # qwen2.forward (qwen2.py:390-393)
+    elif "w" not in frozen_llm["lm_head"]:
+        # quantized weights (inference_hybird --int8 {'w_q','scales'} or
+        # --int4 {'w_q4','scales'}): route through the same dequant matmul
+        # dispatch as qwen2.forward
         logits = _lora_dense(frozen_llm["lm_head"], None, x, 0.0, has_bias=False).astype(
             jnp.float32
         )

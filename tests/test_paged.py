@@ -311,6 +311,40 @@ class TestInt8WeightsPaged:
         assert all(0 <= t < acfg.llm.vocab_size for toks in out.values() for t in toks)
 
 
+class TestInt4WeightsPaged:
+    def test_int4_weights_through_paged_server(self):
+        """--int4 composed with --paged: the paged engine's projections and
+        lm_head route through _lora_dense, which must handle w_q4 leaves.
+        tiny's K=32 falls back to int8, so use int4-groupable dims."""
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        llm = qwen2.QwenConfig(
+            vocab_size=300, hidden_size=256, intermediate_size=512,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+            rope_theta=10_000.0, lora_r=2, lora_alpha=4.0,
+        )
+        base = affectgpt.AffectGPTConfig.tiny()
+        acfg = affectgpt.AffectGPTConfig(**{**base.__dict__, "llm": llm})
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        frozen_q = dict(frozen)
+        frozen_q["llm"] = qwen2.quantize_params(frozen["llm"], bits=4)
+        assert "w_q4" in frozen_q["llm"]["lm_head"]
+        assert "w_q4" in frozen_q["llm"]["layers"][0]["q_proj"]
+        tok = ByteTokenizer()
+        server = PagedBatchServer(
+            frozen_q, trainable, acfg, tok,
+            pcfg=paged.PagedConfig(block_size=8, num_blocks=64, max_blocks_per_seq=16),
+            max_slots=2)
+        for rid, length in [(0, 9), (1, 14)]:
+            server.submit(_make_affectgpt_req(acfg, rid, length))
+        out = server.run_until_drained()
+        assert set(out) == {0, 1}
+        assert all(0 <= t < llm.vocab_size for toks in out.values() for t in toks)
+
+
 class TestReservationPreventsMidDecodeExhaustion:
     def test_long_generations_never_abort(self):
         """A pool too small for every pending request at once must defer
