@@ -77,6 +77,11 @@ class Chat:
     # (informational for engines built from this Chat; the compiled
     # answer path itself picks the sharding up from the arg trees)
     mesh: Optional[object] = None
+    # >0 enables prompt-lookup speculative decoding for GREEDY requests
+    # (gen.generate_speculative — exact same tokens, fewer weight sweeps
+    # per token on decode-heavy reasoning outputs). Sampled requests
+    # always take the standard path.
+    speculative_draft_len: int = 0
 
     def __post_init__(self):
         if self.kv_cache_dtype not in (None, "int8"):
@@ -162,12 +167,22 @@ class Chat:
         )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         max_len = self.max_len
-        tokens, num_valid = _answer_jit(
-            self.frozen, self.trainable, self.cfg, gcfg,
-            jnp.asarray(ids), {m: jnp.asarray(v) for m, v in offsets.items()},
-            features, jnp.asarray(lengths), rng, max_len,
-            jnp.int8 if self.kv_cache_dtype == "int8" else None,
-        )
+        cache_dtype = jnp.int8 if self.kv_cache_dtype == "int8" else None
+        if self.speculative_draft_len > 0 and not do_sample:
+            tokens, num_valid = _answer_spec_jit(
+                self.frozen, self.trainable, self.cfg, gcfg,
+                jnp.asarray(ids), {m: jnp.asarray(v) for m, v in offsets.items()},
+                features, jnp.asarray(lengths),
+                max_len + self.speculative_draft_len,  # verify-write headroom
+                self.speculative_draft_len, cache_dtype,
+            )
+        else:
+            tokens, num_valid = _answer_jit(
+                self.frozen, self.trainable, self.cfg, gcfg,
+                jnp.asarray(ids), {m: jnp.asarray(v) for m, v in offsets.items()},
+                features, jnp.asarray(lengths), rng, max_len,
+                cache_dtype,
+            )
         tokens = np.asarray(tokens)
         num_valid = np.asarray(num_valid)
         outputs = []
@@ -184,4 +199,15 @@ def _answer_jit(frozen, trainable, cfg, gcfg, input_ids, offsets, features, leng
     return gen.generate(
         frozen["llm"], cfg.llm, gcfg, embeds, lengths, rng,
         max_len=max_len, lora=trainable["lora"], cache_dtype=cache_dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "gcfg", "max_len", "draft_len", "cache_dtype"))
+def _answer_spec_jit(frozen, trainable, cfg, gcfg, input_ids, offsets, features, lengths,
+                     max_len, draft_len, cache_dtype=None):
+    embeds = affectgpt.build_inputs_embeds(frozen, trainable, cfg, input_ids, features, offsets)
+    return gen.generate_speculative(
+        frozen["llm"], cfg.llm, gcfg, embeds, lengths, input_ids,
+        max_len=max_len, lora=trainable["lora"], draft_len=draft_len,
+        cache_dtype=cache_dtype,
     )

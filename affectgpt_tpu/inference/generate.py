@@ -159,6 +159,179 @@ def generate(
     return tokens, num_valid
 
 
+@partial(
+    jax.jit,
+    static_argnames=("llm_cfg", "gen_cfg", "max_len", "draft_len", "cache_dtype"),
+)
+def generate_speculative(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    gen_cfg: GenerateConfig,
+    prompt_embeds: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
+    prompt_ids: jnp.ndarray,
+    max_len: int,
+    lora: Optional[dict] = None,
+    draft_len: int = 4,
+    cache_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prompt-lookup speculative GREEDY decoding — exact same tokens as
+    `generate(do_sample=False)`, fewer weight sweeps per token.
+
+    Decode is HBM-bound: every step re-reads all decoder weights to emit
+    ONE token. Here each loop iteration verifies `draft_len` lookahead
+    tokens in a single forward (t = draft_len+1 — the weights are read
+    once either way), so at draft-acceptance rate a the decode-phase
+    weight traffic drops ~(1+a·draft_len)×; at zero acceptance it emits
+    1 token/iteration like plain decode (the extra t on the MXU is ~free
+    in an HBM-bound phase). Drafts come from prompt-lookup (vLLM/HF
+    "prompt lookup decoding"): the continuation of the most recent earlier
+    occurrence of the last token in the id history — emotion-description
+    outputs are templated and self-repeating, so real-checkpoint
+    acceptance is high. Greedy acceptance is EXACT: the emitted sequence
+    equals standard greedy decoding token-for-token (covered by parity
+    tests); sampling requests should use `generate`.
+
+    prompt_ids [b, t_pad] right-padded token ids of the prompt (patch
+    positions may be 0 — they simply never produce useful lookups).
+    Returns (tokens [b, max_new_tokens], num_valid [b]) like `generate`.
+    """
+    assert not gen_cfg.do_sample, "speculative decoding is greedy-only"
+    b, t_pad, _ = prompt_embeds.shape
+    max_new = gen_cfg.max_new_tokens
+    d = draft_len
+    assert max_len >= t_pad + max_new + d  # speculative writes overshoot by ≤ d
+
+    # ---- prefill (identical to generate) ----
+    embeds = _left_pack(prompt_embeds, prompt_lengths)
+    ids_packed = _left_pack(prompt_ids, prompt_lengths)
+    pad_len = t_pad - prompt_lengths
+    key_valid = jnp.arange(t_pad)[None, :] >= pad_len[:, None]
+    positions = jnp.maximum(jnp.arange(t_pad)[None, :] - pad_len[:, None], 0)
+
+    cache = qwen2.init_cache(llm_cfg, b, max_len, dtype=cache_dtype or prompt_embeds.dtype)
+    causal = jnp.arange(max_len)[None, None, :] <= jnp.arange(t_pad)[None, :, None]
+    key_valid_full = jnp.pad(key_valid, ((0, 0), (0, max_len - t_pad)))
+    prefill_mask = causal & key_valid_full[:, None, :]
+    logits, cache = qwen2.forward(
+        frozen_llm, llm_cfg, embeds, prefill_mask,
+        lora=lora, positions=positions, cache=cache, cache_index=jnp.int32(0),
+        last_token_only=True,
+    )
+    t0 = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)  # first new token
+
+    stop_ids = jnp.asarray(
+        (gen_cfg.eos_token_id,) + tuple(gen_cfg.stop_token_ids), dtype=jnp.int32
+    )
+    is_stop = lambda tok: jnp.any(tok[..., None] == stop_ids, axis=-1)
+
+    # id history: left-packed prompt + generated region [t_pad, t_pad+max_new)
+    ids_buf = jnp.pad(ids_packed, ((0, 0), (0, max_len - t_pad)))
+    key_valid_gen = jnp.concatenate(
+        [key_valid, jnp.ones((b, max_len - t_pad), dtype=bool)], axis=1
+    )
+
+    def emit(ids_buf, n_emitted, tokens, count, active):
+        """Write `count` tokens (prefix of `tokens` [b, d+1]) per active row
+        at generation offset n_emitted; rows cap at max_new."""
+        offs = t_pad + n_emitted  # [b]
+        idx = jnp.arange(d + 1)[None, :]
+        cols = offs[:, None] + idx  # [b, d+1] absolute columns
+        write = active[:, None] & (idx < count[:, None]) & (cols < t_pad + max_new)
+        onehot = (
+            jnp.arange(max_len)[None, None, :] == cols[:, :, None]
+        ) & write[:, :, None]  # [b, d+1, max_len]
+        upd = jnp.einsum("bdm,bd->bm", onehot.astype(jnp.int32), tokens)
+        keep = ~jnp.any(onehot, axis=1)
+        return jnp.where(keep, ids_buf, upd), n_emitted + jnp.where(
+            active, jnp.minimum(count, max_new - n_emitted), 0
+        )
+
+    def propose(ids_buf, last_tok, cur_abs):
+        """Most recent earlier occurrence of last_tok; its continuation is
+        the draft. cur_abs [b] = absolute column where last_tok will sit."""
+        idxs = jnp.arange(max_len)[None, :]
+        hit = (ids_buf == last_tok[:, None]) & (idxs < cur_abs[:, None]) & key_valid_gen
+        j = jnp.max(jnp.where(hit, idxs, -1), axis=-1)  # [b], -1 = no match
+        found = j >= 0
+        start = jnp.where(found, j + 1, 0)
+
+        def take(row, s):
+            return jax.lax.dynamic_slice_in_dim(row, s, d, axis=0)
+
+        drafts = jax.vmap(take)(ids_buf, start)  # [b, d]
+        # fallback: repeat the last token (harmless; acceptance checks fix it)
+        return jnp.where(found[:, None], drafts, last_tok[:, None])
+
+    def body(carry):
+        cache, ids_buf, n_emitted, t0, done, _ = carry
+        active = ~done
+        cur_abs = t_pad + n_emitted  # absolute slot of t0
+        drafts = propose(ids_buf, t0, cur_abs)  # [b, d]
+        tokens_in = jnp.concatenate([t0[:, None], drafts], axis=1)  # [b, d+1]
+
+        tok_embeds = qwen2.embed_tokens(frozen_llm, tokens_in).astype(prompt_embeds.dtype)
+        pos = (prompt_lengths + n_emitted)[:, None] + jnp.arange(d + 1)[None, :]
+        # causal key mask: slot index ≤ query's absolute slot, and prompt pads out
+        q_abs = cur_abs[:, None] + jnp.arange(d + 1)[None, :]  # [b, d+1]
+        key_mask = (
+            jnp.arange(max_len)[None, None, :] <= q_abs[:, :, None]
+        ) & key_valid_gen[:, None, :]
+        logits_v, cache = qwen2.forward(
+            frozen_llm, llm_cfg, tok_embeds, key_mask,
+            lora=lora, positions=pos, cache=cache, cache_index=cur_abs,
+        )
+        preds = jnp.argmax(logits_v, axis=-1).astype(jnp.int32)  # [b, d+1]
+
+        # greedy acceptance: drafts[j] survives iff it equals preds[j] and
+        # every earlier draft survived and no stop was emitted before it
+        match = preds[:, :d] == drafts  # [b, d]
+        acc = jnp.cumprod(match.astype(jnp.int32), axis=1)  # [b, d]
+        n_acc = jnp.sum(acc, axis=1)  # accepted drafts per row
+        # emitted this iteration: t0 (already known), accepted drafts, bonus
+        bonus = jnp.take_along_axis(preds, n_acc[:, None], axis=1)[:, 0]
+        out_tokens = jnp.concatenate(
+            [t0[:, None], jnp.where(acc.astype(bool), drafts, 0)], axis=1
+        )  # [b, 1+d]; only first 1+n_acc entries meaningful
+        # stop handling: truncate at the first stop token among emitted
+        cand = jnp.concatenate([t0[:, None], drafts], axis=1)  # [b, 1+d]
+        emit_mask = jnp.concatenate(
+            [jnp.ones((b, 1), jnp.int32), acc], axis=1
+        )  # which cand entries are emitted
+        stops = is_stop(cand) & (emit_mask.astype(bool))
+        any_stop = jnp.any(stops, axis=1)
+        first_stop = jnp.argmax(stops, axis=1)  # index among cand
+        count = jnp.where(any_stop, first_stop + 1, 1 + n_acc)
+
+        ids_buf, n_emitted = emit(ids_buf, n_emitted, out_tokens, count, active)
+        # a stop in `bonus` is NOT done yet: the next iteration emits it
+        # (generate() likewise emits the stop token into the output)
+        new_done = done | (active & any_stop) | (n_emitted >= max_new)
+        t0 = jnp.where(done, t0, bonus)
+        return cache, ids_buf, n_emitted, t0, new_done, _ + 1
+
+    def cond(carry):
+        _, _, n_emitted, _, done, iters = carry
+        return jnp.any(~done) & (iters < max_new)
+
+    init = (
+        cache, ids_buf, jnp.zeros((b,), jnp.int32), t0,
+        jnp.zeros((b,), bool), jnp.int32(0),
+    )
+    cache, ids_buf, n_emitted, t0, done, iters = jax.lax.while_loop(cond, body, init)
+
+    tokens = ids_buf[:, t_pad : t_pad + max_new]
+    gen_stop = is_stop(tokens)
+    num_valid = jnp.where(
+        jnp.any(gen_stop, axis=1), jnp.argmax(gen_stop, axis=1), n_emitted
+    )
+    # pad tail with eos like generate(): the stop token at num_valid stays,
+    # everything strictly after it becomes eos
+    tail = jnp.arange(max_new)[None, :] > num_valid[:, None]
+    tokens = jnp.where(tail, gen_cfg.eos_token_id, tokens)
+    return tokens, num_valid
+
+
 def trim_output_text(text: str) -> str:
     """Host-side stop-string cleanup matching the reference
     (conversation_video.py:380-385): cut at '###', strip a trailing

@@ -79,6 +79,12 @@ def parse_args():
     parser.add_argument("--greedy", action="store_true", default=False,
                         help="greedy decoding (reproducible quality runs; "
                         "default is the reference's top-p 0.9 sampling)")
+    parser.add_argument("--speculative", type=int, default=0, metavar="D",
+                        help="prompt-lookup speculative decoding with D draft "
+                             "tokens per verify step (greedy-exact — same "
+                             "tokens, fewer weight sweeps on decode-heavy "
+                             "reasoning outputs). Requires --greedy; dense "
+                             "engine only")
     parser.add_argument("--tp", type=int, default=1,
                         help="tensor-parallel degree: shard the LLM over the "
                         "first N devices of a 1×N mesh (single-program GSPMD "
@@ -194,9 +200,14 @@ def main() -> None:
             epoch_trainable = mesh_lib.shard_params(mesh, epoch_trainable)
             if merge:
                 serve_frozen = mesh_lib.shard_params(mesh, serve_frozen)
+        if args.speculative:
+            assert args.greedy, "--speculative is greedy-exact; add --greedy"
+            assert not args.paged, "--speculative runs on the dense engine"
         chat = Chat(serve_frozen, epoch_trainable, model_cfg, tokenizer,
                     kv_cache_dtype=inference_cfg.get("kv_cache_dtype"),
-                    mesh=mesh)
+                    mesh=mesh,
+                    speculative_draft_len=args.speculative
+                    or int(inference_cfg.get("speculative_draft_len", 0) or 0))
         run_datasets(
             args, cfg, chat, frozen, model_cfg, tokenizer, datasets, face_or_frame,
             user_message, result_root, str(epoch), data_model_cfg,

@@ -63,6 +63,32 @@ class TestChat:
         assert got == ref
 
 
+class TestSpeculativeChat:
+    def test_speculative_matches_standard_greedy(self):
+        """speculative_draft_len>0 + greedy through answer_batch must return
+        byte-identical strings to the standard path (exact acceptance)."""
+        features = {
+            "face": jnp.asarray(np.random.RandomState(0).randn(2, 8, CFG.visual_dim), jnp.float32),
+            "audio": jnp.asarray(np.random.RandomState(1).randn(2, 8, CFG.acoustic_dim), jnp.float32),
+        }
+        kwargs = dict(max_new_tokens=6, do_sample=False)
+        ref = Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024).answer_batch(
+            "multiface_audio_face_text", ["sub one", "sub two"], "Describe.",
+            features, **kwargs)
+        spec = Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024,
+                    speculative_draft_len=3)
+        got = spec.answer_batch(
+            "multiface_audio_face_text", ["sub one", "sub two"], "Describe.",
+            features, **kwargs)
+        assert got == ref
+        # sampled requests must silently use the standard path
+        sampled = spec.answer_batch(
+            "multiface_audio_face_text", ["sub one", "sub two"], "Describe.",
+            features, max_new_tokens=6, do_sample=True,
+        )
+        assert len(sampled) == 2
+
+
 class TestEncodeMedia:
     def test_realtime_encode_shapes(self):
         vision_cfg = clip_vit.ClipVisionConfig.tiny()
