@@ -161,7 +161,7 @@ def generate(
 
 @partial(
     jax.jit,
-    static_argnames=("llm_cfg", "gen_cfg", "max_len", "draft_len", "cache_dtype"),
+    static_argnames=("llm_cfg", "gen_cfg", "max_len", "draft_len", "cache_dtype", "return_stats"),
 )
 def generate_speculative(
     frozen_llm: dict,
@@ -174,6 +174,7 @@ def generate_speculative(
     lora: Optional[dict] = None,
     draft_len: int = 4,
     cache_dtype=None,
+    return_stats: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Prompt-lookup speculative GREEDY decoding — exact same tokens as
     `generate(do_sample=False)`, fewer weight sweeps per token.
@@ -188,9 +189,12 @@ def generate_speculative(
     "prompt lookup decoding"): the continuation of the most recent earlier
     occurrence of the last token in the id history — emotion-description
     outputs are templated and self-repeating, so real-checkpoint
-    acceptance is high. Greedy acceptance is EXACT: the emitted sequence
-    equals standard greedy decoding token-for-token (covered by parity
-    tests); sampling requests should use `generate`.
+    acceptance is high. Greedy acceptance is exact in exact arithmetic
+    (bitwise-identical to `generate(do_sample=False)` in f32 — covered by
+    parity tests); in bf16 a t=D+1 verify block and a t=1 step can tile
+    matmuls differently, so near-tie argmaxes may rarely flip (standard
+    for speculative implementations). Sampling requests should use
+    `generate`.
 
     prompt_ids [b, t_pad] right-padded token ids of the prompt (patch
     positions may be 0 — they simply never produce useful lookups).
@@ -329,6 +333,9 @@ def generate_speculative(
     # everything strictly after it becomes eos
     tail = jnp.arange(max_new)[None, :] > num_valid[:, None]
     tokens = jnp.where(tail, gen_cfg.eos_token_id, tokens)
+    if return_stats:
+        # iters = verify forwards run; tokens/iter ≈ mean emitted / iters
+        return tokens, num_valid, iters
     return tokens, num_valid
 
 

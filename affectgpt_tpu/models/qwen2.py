@@ -447,13 +447,34 @@ def _attention(
         else:
             writes = [("k", k), ("v", v)]
         if getattr(cache_index, "ndim", 0) == 1:
-            def write_row(buf, new, idx):
-                return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=1)
+            if t > 1:
+                # speculative verify: write t rows per sequence at per-row
+                # offsets. A vmapped dynamic_update_slice lowers to a
+                # scatter (~0.5 ms/layer at b128 — dominates the verify
+                # step); a onehot-masked rewrite streams the cache once at
+                # full HBM bandwidth instead.
+                cols = cache_index[:, None] + jnp.arange(t)[None, :]  # [b, t]
+                onehot = (
+                    jnp.arange(cache["k"].shape[2])[None, None, :] == cols[:, :, None]
+                )  # [b, t, T]
+                hit = jnp.any(onehot, axis=1)[:, None, :, None]  # [b, 1, T, 1]
+                oh = onehot.astype(jnp.float32)
 
-            new_cache = {
-                name: jax.vmap(write_row)(cache[name], new, cache_index)
-                for name, new in writes
-            }
+                def scatter(buf, new):
+                    upd = jnp.einsum(
+                        "btT,bhtd->bhTd", oh, new.astype(jnp.float32)
+                    ).astype(buf.dtype)
+                    return jnp.where(hit, upd, buf)
+
+                new_cache = {name: scatter(cache[name], new) for name, new in writes}
+            else:
+                def write_row(buf, new, idx):
+                    return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=1)
+
+                new_cache = {
+                    name: jax.vmap(write_row)(cache[name], new, cache_index)
+                    for name, new in writes
+                }
         else:
             new_cache = {
                 name: jax.lax.dynamic_update_slice_in_dim(cache[name], new, cache_index, axis=2)

@@ -73,6 +73,11 @@ def main():
             gen.generate_speculative, p, cfg, gcfg, embeds, lengths, ids,
             max_len=max_len, draft_len=DRAFT,
         )
+        _, nv, iters = gen.generate_speculative(
+            p, cfg, gcfg, embeds, lengths, ids,
+            max_len=max_len, draft_len=DRAFT, return_stats=True,
+        )
+        tpi = float(np.asarray(nv).mean()) / max(int(iters), 1)
         exact = bool((tok_ref == tok_spec).all())
         print(
             json.dumps(
@@ -81,6 +86,7 @@ def main():
                     "plain_s": round(t_ref, 3),
                     "spec_s": round(t_spec, 3),
                     "speedup": round(t_ref / t_spec, 3),
+                    "tokens_per_iter": round(tpi, 2),
                     "token_exact": exact,
                 }
             ),
@@ -89,13 +95,26 @@ def main():
 
     run_pair("random weights / ~0 acceptance", params)
 
-    # rigged head: argmax always lands in a 2-token alphabet → lookup hits
+    # rigged model: zero every decoder projection (hidden == embedding →
+    # next token is a deterministic map of the last token) AND restrict the
+    # head to two antipodal columns, collapsing the map's state space to
+    # {42, 43} — the orbit cycles within 2 steps, so prompt-lookup drafts
+    # accept the way templated real outputs do
+    def zero_proj(layer):
+        out = dict(layer)
+        for n in ("q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"):
+            d = {"w": jnp.zeros_like(layer[n]["w"])}
+            if "b" in layer[n]:
+                d["b"] = jnp.zeros_like(layer[n]["b"])
+            out[n] = d
+        return out
+
+    rigged = dict(params)
+    rigged["layers"] = [zero_proj(l) for l in params["layers"]]
     w = jnp.zeros(params["lm_head"]["w"].shape, jnp.bfloat16)
     v = jnp.asarray(rng.randn(w.shape[0]), jnp.bfloat16)
-    w = w.at[:, 42].set(v).at[:, 43].set(-v)
-    rigged = dict(params)
-    rigged["lm_head"] = {"w": w}
-    run_pair("rigged repetitive model / high acceptance", rigged)
+    rigged["lm_head"] = {"w": w.at[:, 42].set(v).at[:, 43].set(-v)}
+    run_pair("rigged 2-cycle model / high acceptance", rigged)
 
 
 if __name__ == "__main__":
