@@ -252,11 +252,19 @@ def generate_speculative(
         )
 
     def propose(ids_buf, last_tok, cur_abs):
-        """Most recent earlier occurrence of last_tok; its continuation is
-        the draft. cur_abs [b] = absolute column where last_tok will sit."""
+        """Latest earlier occurrence of last_tok whose d-token continuation
+        is fully inside written history; its continuation is the draft.
+        (Without the full-continuation constraint a short-period stream —
+        the high-acceptance case this optimizes — always matches ≤2 tokens
+        back and drafts unwritten zeros.) cur_abs [b] = absolute column
+        where last_tok will sit."""
         idxs = jnp.arange(max_len)[None, :]
         hit = (ids_buf == last_tok[:, None]) & (idxs < cur_abs[:, None]) & key_valid_gen
-        j = jnp.max(jnp.where(hit, idxs, -1), axis=-1)  # [b], -1 = no match
+        j_full = jnp.max(
+            jnp.where(hit & (idxs < cur_abs[:, None] - d), idxs, -1), axis=-1
+        )
+        j_any = jnp.max(jnp.where(hit, idxs, -1), axis=-1)
+        j = jnp.where(j_full >= 0, j_full, j_any)  # [b], -1 = no match
         found = j >= 0
         start = jnp.where(found, j + 1, 0)
 

@@ -80,6 +80,41 @@ class TestExactParity:
         np.testing.assert_array_equal(got, ref)
         np.testing.assert_array_equal(got_nv, ref_nv)
 
+    def test_periodic_stream_accepts_full_drafts(self):
+        """On a 2-cycle token-map model (zeroed projections + 2-column head)
+        the lookup must draft from a match with a fully-written continuation
+        — acceptance ≈ draft_len, so 24 tokens take ≤ ~7 verify steps, not
+        24 (regression: the nearest match drafted unwritten zeros)."""
+        params = dict(PARAMS)
+        zero = lambda lyr: {
+            **lyr,
+            **{
+                n: {k: jnp.zeros_like(v) for k, v in lyr[n].items()}
+                for n in ("q_proj", "k_proj", "v_proj", "o_proj",
+                          "gate_proj", "up_proj", "down_proj")
+            },
+        }
+        params["layers"] = [zero(l) for l in PARAMS["layers"]]
+        w = np.zeros(PARAMS["lm_head"]["w"].shape, np.float32)
+        v = np.random.RandomState(1).randn(w.shape[0])
+        w[:, 42] = v
+        w[:, 43] = -v
+        params["lm_head"] = {"w": jnp.asarray(w)}
+        ids = jax.random.randint(jax.random.PRNGKey(6), (2, 7), 1, CFG.vocab_size)
+        lengths = jnp.array([7, 6])
+        gcfg = gen.GenerateConfig(max_new_tokens=24, do_sample=False, eos_token_id=257)
+        embeds = qwen2.embed_tokens(params, ids)
+        toks, nv, iters = gen.generate_speculative(
+            params, CFG, gcfg, embeds, lengths, ids, max_len=64, draft_len=4,
+            return_stats=True,
+        )
+        assert set(np.asarray(toks).ravel()) <= {42, 43}
+        assert int(iters) <= 9, int(iters)  # ~24/5 + warmup, not 24
+        # and still exact vs plain greedy
+        ref, _ = gen.generate(
+            params, CFG, gcfg, embeds, lengths, jax.random.PRNGKey(0), max_len=64)
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
     def test_int8_weights_compose(self):
         qparams = qwen2.quantize_params(PARAMS)
         ids = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 1, CFG.vocab_size)
