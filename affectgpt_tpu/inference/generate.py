@@ -252,19 +252,25 @@ def generate_speculative(
         )
 
     def propose(ids_buf, last_tok, cur_abs):
-        """Latest earlier occurrence of last_tok whose d-token continuation
-        is fully inside written history; its continuation is the draft.
-        (Without the full-continuation constraint a short-period stream —
-        the high-acceptance case this optimizes — always matches ≤2 tokens
-        back and drafts unwritten zeros.) cur_abs [b] = absolute column
-        where last_tok will sit."""
+        """Draft = continuation of the best earlier n-gram match of the
+        stream head. Tiering (highest first): 2-gram match with the full
+        d-token continuation already written > 1-gram match with full
+        continuation > nearest 1-gram match. (Without the full-continuation
+        constraint a short-period stream — the high-acceptance case this
+        optimizes — always matches ≤2 tokens back and drafts unwritten
+        zeros; 2-gram preference is standard prompt-lookup precision.)
+        cur_abs [b] = absolute column where last_tok will sit."""
         idxs = jnp.arange(max_len)[None, :]
-        hit = (ids_buf == last_tok[:, None]) & (idxs < cur_abs[:, None]) & key_valid_gen
-        j_full = jnp.max(
-            jnp.where(hit & (idxs < cur_abs[:, None] - d), idxs, -1), axis=-1
-        )
-        j_any = jnp.max(jnp.where(hit, idxs, -1), axis=-1)
-        j = jnp.where(j_full >= 0, j_full, j_any)  # [b], -1 = no match
+        hit1 = (ids_buf == last_tok[:, None]) & (idxs < cur_abs[:, None]) & key_valid_gen
+        # previous stream token (always written: prompt is non-empty)
+        prev = jax.vmap(lambda row, c: row[c])(ids_buf, jnp.maximum(cur_abs - 1, 0))
+        prev_at = jnp.roll(ids_buf, 1, axis=1) == prev[:, None]
+        hit2 = hit1 & prev_at & (idxs >= 1)
+        full = idxs < cur_abs[:, None] - d
+        j2 = jnp.max(jnp.where(hit2 & full, idxs, -1), axis=-1)
+        j1 = jnp.max(jnp.where(hit1 & full, idxs, -1), axis=-1)
+        j_any = jnp.max(jnp.where(hit1, idxs, -1), axis=-1)
+        j = jnp.where(j2 >= 0, j2, jnp.where(j1 >= 0, j1, j_any))  # -1 = none
         found = j >= 0
         start = jnp.where(found, j + 1, 0)
 
