@@ -31,6 +31,7 @@ RESULT_ROOT = os.path.join(AFFECTGPT_ROOT, "output", "results")
 PATH_TO_LLM = {
     "Qwen25": os.path.join(MODEL_ROOT, "LLM", "Qwen2.5-7B-Instruct"),
     "Llama2": os.path.join(MODEL_ROOT, "LLM", "Llama-2-7b-chat-hf"),
+    "Baichuan2": os.path.join(MODEL_ROOT, "LLM", "Baichuan2-7B-Chat"),
 }
 
 PATH_TO_VISUAL = {

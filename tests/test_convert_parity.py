@@ -109,6 +109,51 @@ class TestLlamaParity:
         np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=2e-3, rtol=2e-3)
 
 
+class TestGreedyGenerateParity:
+    def test_greedy_tokens_match_hf_generate(self, tmp_path):
+        """Beyond logits parity: the whole compiled KV-cache decode loop
+        (prefill → per-step argmax → cache append) must emit the same
+        greedy tokens as HF `model.generate` on a tiny random Qwen2."""
+        from transformers import Qwen2Config, Qwen2ForCausalLM
+
+        from affectgpt_tpu.inference import generate as gen
+
+        hf_cfg = Qwen2Config(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, rope_theta=10000.0, rms_norm_eps=1e-6,
+            tie_word_embeddings=False, attn_implementation="eager",
+            bos_token_id=None, eos_token_id=None, pad_token_id=0,
+        )
+        torch.manual_seed(7)
+        model = Qwen2ForCausalLM(hf_cfg).eval()
+        params = save_and_convert(model, tmp_path, convert.convert_qwen2)
+        cfg = qwen2.QwenConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=8, rope_theta=10000.0,
+        )
+
+        ids = np.random.RandomState(7).randint(1, 128, (2, 6))
+        max_new = 8
+        with torch.no_grad():
+            hf_out = model.generate(
+                torch.tensor(ids), max_new_tokens=max_new, do_sample=False,
+                eos_token_id=None, pad_token_id=0, use_cache=True,
+            )
+        hf_new = hf_out[:, ids.shape[1]:].numpy()
+
+        params = jax.tree.map(jnp.asarray, params)
+        embeds = qwen2.embed_tokens(params, jnp.asarray(ids))
+        gcfg = gen.GenerateConfig(
+            max_new_tokens=max_new, do_sample=False, eos_token_id=-1,
+        )
+        toks, _ = gen.generate(
+            params, cfg, gcfg, embeds, jnp.full((2,), ids.shape[1]),
+            jax.random.PRNGKey(0), max_len=ids.shape[1] + max_new,
+        )
+        np.testing.assert_array_equal(np.asarray(toks), hf_new)
+
+
 class TestBaichuan2Parity:
     def test_logits_match_reference_semantics(self, tmp_path):
         """Baichuan2 family (reference affectgpt.py:92-103 trust_remote_code
