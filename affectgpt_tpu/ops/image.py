@@ -21,8 +21,13 @@ CLIP_STD = jnp.asarray(constants.CLIP_IMAGE_STD, dtype=jnp.float32)
 
 
 def resize(frames: jnp.ndarray, out_hw: Tuple[int, int], method: str = "bicubic") -> jnp.ndarray:
-    """Resize [..., H, W, C] images to [..., h, w, C]."""
-    *lead, _, _, c = frames.shape
+    """Resize [..., H, W, C] images to [..., h, w, C]. Identity sizes skip
+    the resample entirely (jax.image.resize still runs the full filter for
+    same-size outputs — measurable on the realtime path where decoded
+    frames usually arrive pre-sized at 224²)."""
+    *lead, h, w, c = frames.shape
+    if (h, w) == tuple(out_hw):
+        return frames.astype(jnp.float32)
     out_shape = (*lead, out_hw[0], out_hw[1], c)
     return jax.image.resize(frames.astype(jnp.float32), out_shape, method=method)
 

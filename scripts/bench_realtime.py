@@ -15,6 +15,7 @@ to converted checkpoints.
 
 Run: python scripts/bench_realtime.py      (one TPU process at a time)
 Env: RT_BATCH (64), RT_FRAMES (8), RT_NEW (32).
+     RT_SKIP=visual|audio drops one encoder side — attribution sweeps.
 """
 
 from __future__ import annotations
@@ -74,17 +75,19 @@ def main():
     rng = np.random.RandomState(0)
     hw = 28 if tiny else 224
     samples = 800 if tiny else SAMPLES
-    raw = {
-        "frame": jnp.asarray(
+    skip = os.environ.get("RT_SKIP", "")
+    raw = {}
+    if skip != "visual":
+        raw["frame"] = jnp.asarray(
             rng.randint(0, 255, (BATCH, FRAMES, hw, hw, 3)), jnp.uint8
-        ),
-        "face": jnp.asarray(
+        )
+        raw["face"] = jnp.asarray(
             rng.randint(0, 255, (BATCH, FRAMES, hw, hw, 3)), jnp.uint8
-        ),
-        "audio": jnp.asarray(
+        )
+    if skip != "audio":
+        raw["audio"] = jnp.asarray(
             rng.randn(BATCH, FRAMES, 1, samples) * 0.1, jnp.bfloat16
-        ),
-    }
+        )
     # reuse the main bench's prompt/offsets (patch ids zeroed host-side)
     input_ids, _, offsets = make_clip_batch(cfg, BATCH)
     lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
@@ -121,7 +124,9 @@ def main():
                 "metric": (
                     "tri-modal REALTIME clips/sec/chip ("
                     + ("tiny-smoke" if tiny else "CLIP-L + HuBERT-large on device, 3B LLM")
-                    + f", {FRAMES} frames+faces, {NEW}-tok decode, batch {BATCH})"
+                    + f", {FRAMES} frames+faces, {NEW}-tok decode, batch {BATCH}"
+                    + (f", skip={skip}" if skip else "")
+                    + ")"
                 ),
                 "value": round(cps, 2),
                 "unit": "clips/s",
