@@ -491,12 +491,17 @@ def prefill_batch_into_pages(
     new_pools = []
     for i, layer_cache in enumerate(cache):
         # int8 pools: the dense prefill cache is already quantized (same
-        # dtype), so the per-row scales scatter alongside the values
-        new_pools.append({
-            name: pools[i][name].at[ids].set(
-                unshift_pages(layer_cache[name]).astype(pools[i][name].dtype))
-            for name in pools[i]
-        })
+        # dtype), so the per-row scales scatter alongside the values. Dense
+        # scale pools are [b, kv, t] (no trailing 1 — TPU lane padding);
+        # page scale pools keep [.., 1], so re-add the axis for the scatter.
+        layer_pool = {}
+        for name in pools[i]:
+            src = layer_cache[name]
+            if src.ndim == 3:
+                src = src[..., None]
+            layer_pool[name] = pools[i][name].at[ids].set(
+                unshift_pages(src).astype(pools[i][name].dtype))
+        new_pools.append(layer_pool)
     return logits[:, -1], new_pools
 
 
@@ -548,9 +553,12 @@ def prefill_into_pages(
 
     new_pools = []
     for i, layer_cache in enumerate(cache):
-        new_pools.append({
-            name: pools[i][name].at[ids].set(
-                unshift(layer_cache[name]).astype(pools[i][name].dtype))
-            for name in pools[i]
-        })
+        layer_pool = {}
+        for name in pools[i]:
+            src = layer_cache[name]
+            if src.ndim == 3:  # dense scale pools are [b, kv, t]
+                src = src[..., None]
+            layer_pool[name] = pools[i][name].at[ids].set(
+                unshift(src).astype(pools[i][name].dtype))
+        new_pools.append(layer_pool)
     return logits[0, -1], new_pools

@@ -441,11 +441,15 @@ def _attention(
             # int8 KV cache: per-(token,head) symmetric quantization. Halves
             # the decode-phase cache read (the #2 HBM stream after weights)
             # and doubles cache capacity; dequantization is folded into the
-            # attention math below, never materialized.
+            # attention math below, never materialized. Scale pools are
+            # [b, kv, T] — a trailing singleton dim would be padded to 128
+            # lanes on TPU (128× the HBM: ~5.6 GB at 7B b256, an OOM).
             (k, k_s), (v, v_s) = _quantize_kv(k), _quantize_kv(v)
-            writes = [("k", k), ("k_scale", k_s), ("v", v), ("v_scale", v_s)]
+            writes = [("k", k), ("v", v)]
+            writes3 = [("k_scale", k_s[..., 0]), ("v_scale", v_s[..., 0])]  # [b, kv, t]
         else:
             writes = [("k", k), ("v", v)]
+            writes3 = []
         if getattr(cache_index, "ndim", 0) == 1:
             if t > 1:
                 # speculative verify: write t rows per sequence at per-row
@@ -457,34 +461,41 @@ def _attention(
                 onehot = (
                     jnp.arange(cache["k"].shape[2])[None, None, :] == cols[:, :, None]
                 )  # [b, t, T]
-                hit = jnp.any(onehot, axis=1)[:, None, :, None]  # [b, 1, T, 1]
+                hit4 = jnp.any(onehot, axis=1)[:, None, :, None]  # [b, 1, T, 1]
+                hit3 = jnp.any(onehot, axis=1)[:, None, :]  # [b, 1, T]
                 oh = onehot.astype(jnp.float32)
 
                 def scatter(buf, new):
                     upd = jnp.einsum(
                         "btT,bhtd->bhTd", oh, new.astype(jnp.float32)
                     ).astype(buf.dtype)
-                    return jnp.where(hit, upd, buf)
+                    return jnp.where(hit4, upd, buf)
+
+                def scatter3(buf, new):
+                    upd = jnp.einsum("btT,bht->bhT", oh, new.astype(jnp.float32))
+                    return jnp.where(hit3, upd.astype(buf.dtype), buf)
 
                 new_cache = {name: scatter(cache[name], new) for name, new in writes}
+                new_cache.update(
+                    {name: scatter3(cache[name], new) for name, new in writes3}
+                )
             else:
                 def write_row(buf, new, idx):
                     return jax.lax.dynamic_update_slice_in_dim(buf, new, idx, axis=1)
 
                 new_cache = {
                     name: jax.vmap(write_row)(cache[name], new, cache_index)
-                    for name, new in writes
+                    for name, new in writes + writes3
                 }
         else:
             new_cache = {
                 name: jax.lax.dynamic_update_slice_in_dim(cache[name], new, cache_index, axis=2)
-                for name, new in writes
+                for name, new in writes + writes3
             }
         k, v = new_cache["k"], new_cache["v"]
         if kv_quant:
-            # [b, h, max_len, 1] → [b, h, max_len]
-            k_scale = new_cache["k_scale"][..., 0]
-            v_scale = new_cache["v_scale"][..., 0]
+            k_scale = new_cache["k_scale"]  # [b, kv, max_len]
+            v_scale = new_cache["v_scale"]
 
     groups = cfg.num_heads // cfg.num_kv_heads
     if (
@@ -651,9 +662,11 @@ def init_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) ->
     dims (b, h) leading on both operands — no per-step cache transpose.
 
     dtype=jnp.int8 selects the quantized cache: int8 values plus per-row
-    float32 scales ("k_scale"/"v_scale", [b, kv, max_len, 1]). Halves the
-    decode-phase cache HBM read and doubles the token capacity per byte;
-    dequantization is folded into the attention einsums in _attention."""
+    float32 scales ("k_scale"/"v_scale", [b, kv, max_len] — NO trailing
+    singleton: TPU pads the minor dim to 128 lanes, so a [..., 1] layout
+    would cost 128× the HBM). Halves the decode-phase cache HBM read and
+    doubles the token capacity per byte; dequantization is folded into
+    the attention einsums in _attention."""
     shape = (batch, cfg.num_kv_heads, max_len, cfg.head_dim)
 
     def layer_buf():
@@ -661,8 +674,8 @@ def init_cache(cfg: QwenConfig, batch: int, max_len: int, dtype=jnp.bfloat16) ->
         # cache into jitted updates, and XLA rejects aliased donated buffers
         buf = {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
         if dtype == jnp.int8:
-            buf["k_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
-            buf["v_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+            buf["k_scale"] = jnp.zeros(shape[:3], dtype=jnp.float32)
+            buf["v_scale"] = jnp.zeros(shape[:3], dtype=jnp.float32)
         return buf
 
     return [layer_buf() for _ in range(cfg.num_layers)]
