@@ -295,6 +295,15 @@ def int4_matmul(
     assert k == 2 * k_half, (k, k_half)
     groups = k // group
     assert scales.shape == (groups, n), (scales.shape, groups, n)
+    if m < 8:
+        # Mosaic executes degenerate sub-sublane M tiles pathologically
+        # (b1 latency mode measured ~40 ms/step vs ~1 ms at M=8); pad to
+        # the 8-row sublane minimum and slice the result
+        x_pad = jnp.pad(x, ((0, 8 - m), (0, 0)))
+        return int4_matmul(
+            x_pad, w_p, scales, group=group, block_m=block_m, block_n=block_n,
+            interpret=interpret,
+        )[:m]
     block_m = min(block_m, m)
     block_n = min(block_n, n)
     block_k = _w4_block_k(k_half, group)

@@ -106,6 +106,18 @@ class TestW4:
         pal = np.asarray(quant.int4_matmul(x, w_p, scales, block_n=256, interpret=True))
         np.testing.assert_allclose(pal, xla, rtol=2e-2, atol=2e-2)
 
+    def test_int4_pallas_m1_pads_to_sublane(self):
+        """Batch-1 latency mode: M<8 pads to the 8-row sublane minimum
+        (degenerate M tiles measured ~40x slower on Mosaic) and must still
+        match the XLA path exactly."""
+        x = jax.random.normal(jax.random.PRNGKey(9), (1, 512), jnp.float32)
+        w = jax.random.normal(jax.random.PRNGKey(10), (512, 256)) * 0.1
+        w_p, scales = quant.quantize_int4_grouped(w)
+        xla = np.asarray(quant.int4_matmul_xla(x, w_p, scales))
+        pal = np.asarray(quant.int4_matmul(x, w_p, scales, block_n=256, interpret=True))
+        assert pal.shape == (1, 256)
+        np.testing.assert_allclose(pal, xla, rtol=2e-2, atol=2e-2)
+
     def test_dense_tree_bits4_with_int8_fallback(self):
         tree = {
             "big": {"w": jnp.ones((256, 16)), "b": jnp.zeros(16)},
