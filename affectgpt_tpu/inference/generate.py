@@ -264,7 +264,11 @@ def generate_speculative(
         hit1 = (ids_buf == last_tok[:, None]) & (idxs < cur_abs[:, None]) & key_valid_gen
         # previous stream token (always written: prompt is non-empty)
         prev = jax.vmap(lambda row, c: row[c])(ids_buf, jnp.maximum(cur_abs - 1, 0))
-        prev_at = jnp.roll(ids_buf, 1, axis=1) == prev[:, None]
+        # position idx-1 must itself be a valid stream token: the roll wraps
+        # the last column to position 0 and left-pad zeros could otherwise
+        # spuriously match `prev`, degrading draft quality
+        prev_valid = jnp.roll(key_valid_gen, 1, axis=1)
+        prev_at = (jnp.roll(ids_buf, 1, axis=1) == prev[:, None]) & prev_valid
         hit2 = hit1 & prev_at & (idxs >= 1)
         full = idxs < cur_abs[:, None] - d
         j2 = jnp.max(jnp.where(hit2 & full, idxs, -1), axis=-1)

@@ -264,10 +264,16 @@ def init_quantized_params(
     assert bits in (8, 4)
 
     def qdense(key, k, n, bias: bool):
-        kq, _ = jax.random.split(key)
+        kq, kq2 = jax.random.split(key)
         sigma = 1.0 / float(k) ** 0.5
         if bits == 4 and k % (2 * quant.INT4_GROUP) == 0:
-            w_p = jax.random.randint(kq, (k // 2, n), -128, 128, dtype=jnp.int32).astype(jnp.int8)
+            # nibbles drawn in [-7, 7] — the range quantize_int4_grouped
+            # actually produces — and packed with the same (hi<<4)|(lo&0xF)
+            # scheme, so synthetic weights match a converted checkpoint's
+            # value distribution exactly
+            lo = jax.random.randint(kq, (k // 2, n), -7, 8, dtype=jnp.int32)
+            hi = jax.random.randint(kq2, (k // 2, n), -7, 8, dtype=jnp.int32)
+            w_p = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)
             scales = jnp.full((k // quant.INT4_GROUP, n), 3.0 * sigma / 7.0, jnp.float32)
             out = {"w_q4": w_p, "scales": scales}
         else:
@@ -326,7 +332,7 @@ def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
         x2d = x.reshape(-1, orig_shape[-1])
         if (
             jax.default_backend() == "tpu"
-            and x2d.shape[0] <= quant.PALLAS_DEQUANT_MAX_M
+            and quant.PALLAS_INT4_MIN_M <= x2d.shape[0] <= quant.PALLAS_DEQUANT_MAX_M
             and quant.int4_shapes_ok(x2d, base["w_q4"])
         ):
             y = quant.int4_matmul(x2d, base["w_q4"], base["scales"]).astype(jnp.float32)

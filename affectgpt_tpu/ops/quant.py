@@ -402,3 +402,10 @@ MATMUL_MODE = "w8"
 # Env-tunable: AFFECTGPT_PALLAS_MAX_M=0 forces the XLA path everywhere
 # (for int8, XLA fuses the int8→bf16 convert into the dot — no transient).
 PALLAS_DEQUANT_MAX_M = int(__import__("os").environ.get("AFFECTGPT_PALLAS_MAX_M", 1024))
+
+# int4-only small-M floor: Mosaic's handling of the subgroup-unrolled int4
+# dots is pathological at M≤8 (batch-1 latency measured ~37× over the
+# streaming bound even with the 8-row sublane pad), so tiny-M int4 matmuls
+# route to the XLA dequant path instead — its transient bf16 weight write
+# (~5× the int4 bytes) is still far cheaper than the Mosaic degenerate case.
+PALLAS_INT4_MIN_M = int(__import__("os").environ.get("AFFECTGPT_PALLAS_INT4_MIN_M", 16))

@@ -171,6 +171,10 @@ def main() -> None:
         num_image_query_token=model_cfg.num_image_query_token,
     )
 
+    if args.fuse_qkv and not merge:
+        print("WARNING: --fuse_qkv ignored with --no_merge_lora (fusion only "
+              "applies to the merged serving weights)", flush=True)
+
     for epoch, ckpt_path in epochs:
         epoch_trainable = (
             checkpoint.apply_checkpoint_overlays(trainable, ckpt_path)
@@ -186,6 +190,9 @@ def main() -> None:
             if epoch_trainable.get("lora") is not None:
                 llm = qwen2.merge_lora(llm, epoch_trainable["lora"], model_cfg.llm)
                 epoch_trainable = {**epoch_trainable, "lora": None}
+            if args.fuse_qkv and (mesh is not None or args.paged):
+                print("WARNING: --fuse_qkv ignored (tp>1 and the paged engine "
+                      "keep the split weight layout)", flush=True)
             if args.fuse_qkv and mesh is None and not args.paged:
                 # single-chip dense engine: concat qkv and gate/up (3 fewer
                 # ops per layer per decode step; tp shards and the paged
