@@ -482,3 +482,128 @@ def convert_hubert(model_dir: str, dtype=np.float32) -> dict:
         "final_ln": _ln(state, "encoder.layer_norm"),
     }
     return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+
+
+# ---------------------------------------------------------------------------
+# Assembled reference-model conversion (oracle parity)
+
+
+def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32) -> dict:
+    """Convert a full reference `AffectGPT.state_dict()` (torch tensors or
+    numpy arrays; reference my_affectgpt/models/affectgpt.py:39-357) into
+    this framework's {"frozen": {"llm": ...}, "trainable": {...}} pytrees.
+
+    Key layout handled (peft-wrapped Qwen2/Llama base):
+    - `llama_model.base_model.model.model.*`   → frozen llm decoder
+    - `llama_model.base_model.model.lm_head.*` → frozen llm lm_head
+    - `...<proj>.lora_A/lora_B.default.weight` → trainable lora (a = Aᵀ, b = Bᵀ)
+    - `video_attention_mlp` + `affectgpt_proj` → frame AND face mergers (the
+      reference shares one video merger across both streams,
+      affectgpt.py:929-932)
+    - `audio_attention_mlp` + `audio_llama_proj` → audio merger
+    - `image_llama_proj` / `au_llama_proj` → image / au mergers (mean fusion)
+    - `multi_video_embs`/`multi_audio_embs`/`attention_mlp`/`fc_att`/
+      `multi_llama_proj` → multi pre-fusion (attention variant,
+      affectgpt.py:883-908)
+
+    Q-Former fusion variants are not mapped here (tower-level parity is
+    covered by the dedicated Q-Former converter/tests)."""
+    import torch
+
+    state = {
+        k: (v.detach().cpu().float().numpy() if isinstance(v, torch.Tensor) else np.asarray(v))
+        for k, v in state.items()
+    }
+
+    llm_prefix = "llama_model.base_model.model.model"
+    head_prefix = "llama_model.base_model.model"
+
+    def base_dense(prefix):
+        key = f"{prefix}.base_layer.weight"
+        if key not in state:  # non-LoRA module (plain Linear)
+            key = f"{prefix}.weight"
+            bkey = f"{prefix}.bias"
+        else:
+            bkey = f"{prefix}.base_layer.bias"
+        out = {"w": np.ascontiguousarray(state[key].T)}
+        if bkey in state:
+            out["b"] = state[bkey]
+        return out
+
+    def lora_leaf(prefix):
+        a = state[f"{prefix}.lora_A.default.weight"]  # [r, in]
+        b = state[f"{prefix}.lora_B.default.weight"]  # [out, r]
+        return {"a": np.ascontiguousarray(a.T), "b": np.ascontiguousarray(b.T)}
+
+    layers, lora_layers = [], []
+    i = 0
+    while f"{llm_prefix}.layers.{i}.self_attn.q_proj.base_layer.weight" in state:
+        p = f"{llm_prefix}.layers.{i}"
+        layers.append({
+            "q_proj": base_dense(f"{p}.self_attn.q_proj"),
+            "k_proj": base_dense(f"{p}.self_attn.k_proj"),
+            "v_proj": base_dense(f"{p}.self_attn.v_proj"),
+            "o_proj": base_dense(f"{p}.self_attn.o_proj"),
+            "gate_proj": base_dense(f"{p}.mlp.gate_proj"),
+            "up_proj": base_dense(f"{p}.mlp.up_proj"),
+            "down_proj": base_dense(f"{p}.mlp.down_proj"),
+            "input_ln": {"scale": state[f"{p}.input_layernorm.weight"]},
+            "post_attn_ln": {"scale": state[f"{p}.post_attention_layernorm.weight"]},
+        })
+        lora_layers.append({
+            name: lora_leaf(f"{p}.{mod}.{name}")
+            for name, mod in (
+                ("q_proj", "self_attn"), ("k_proj", "self_attn"),
+                ("v_proj", "self_attn"), ("o_proj", "self_attn"),
+                ("gate_proj", "mlp"), ("up_proj", "mlp"), ("down_proj", "mlp"),
+            )
+        })
+        i += 1
+
+    llm = {
+        "embed_tokens": {"table": state[f"{llm_prefix}.embed_tokens.weight"]},
+        "layers": layers,
+        "final_ln": {"scale": state[f"{llm_prefix}.norm.weight"]},
+    }
+    if f"{head_prefix}.lm_head.weight" in state:
+        llm["lm_head"] = {"w": np.ascontiguousarray(state[f"{head_prefix}.lm_head.weight"].T)}
+
+    def plain_dense(name):
+        out = {"w": np.ascontiguousarray(state[f"{name}.weight"].T)}
+        if f"{name}.bias" in state:
+            out["b"] = state[f"{name}.bias"]
+        return out
+
+    video_merger = {"proj": plain_dense("affectgpt_proj")}
+    if "video_attention_mlp.weight" in state:
+        video_merger["attn_mlp"] = plain_dense("video_attention_mlp")
+    audio_merger = {"proj": plain_dense("audio_llama_proj")}
+    if "audio_attention_mlp.weight" in state:
+        audio_merger["attn_mlp"] = plain_dense("audio_attention_mlp")
+    au_merger = {"proj": plain_dense("au_llama_proj")}
+    if "au_attention_mlp.weight" in state:
+        au_merger["attn_mlp"] = plain_dense("au_attention_mlp")
+    mergers = {
+        "frame": video_merger,
+        "face": {k: dict(v) for k, v in video_merger.items()},
+        "audio": audio_merger,
+        "image": {"proj": plain_dense("image_llama_proj")},
+        "au": au_merger,
+    }
+
+    trainable = {"mergers": mergers, "lora": {"layers": lora_layers}}
+    if "multi_llama_proj.weight" in state:
+        multi = {
+            "video_embs": plain_dense("multi_video_embs"),
+            "audio_embs": plain_dense("multi_audio_embs"),
+            "proj": plain_dense("multi_llama_proj"),
+        }
+        if "attention_mlp.weight" in state:
+            multi["attn_mlp"] = plain_dense("attention_mlp")
+            multi["fc_att"] = plain_dense("fc_att")
+        trainable["multi"] = multi
+
+    import jax
+
+    tree = {"frozen": {"llm": llm}, "trainable": trainable}
+    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), tree)

@@ -88,11 +88,19 @@ def apply_merger(params: dict, cfg: MergerConfig, features: jnp.ndarray) -> jnp.
         q = qformer.apply(params["qformer"], cfg.qformer_config(), h)
         return nn.dense(params["proj"], q)
     if cfg.fusion_type == "attention":
-        # unnormalized linear attention pooling (affectgpt.py:505-535):
-        # fused = features^T @ mlp(features)
-        weights = nn.dense(params["attn_mlp"], features)  # [b, t, 1]
-        fused = jnp.einsum("btd,bto->bd", features, weights, preferred_element_type=jnp.float32)
-        fused = fused.astype(features.dtype)
+        if t == 1:
+            # single-timestep features bypass the attention weighting
+            # entirely (reference preextracted path, affectgpt.py:587-589:
+            # `fused_feat = store_hidden_state.squeeze(1)`) — the realtime
+            # branch never sees t==1, so the unified path can special-case
+            # it at trace time without forking realtime/preextracted
+            fused = features[:, 0, :]
+        else:
+            # unnormalized linear attention pooling (affectgpt.py:505-535):
+            # fused = features^T @ mlp(features)
+            weights = nn.dense(params["attn_mlp"], features)  # [b, t, 1]
+            fused = jnp.einsum("btd,bto->bd", features, weights, preferred_element_type=jnp.float32)
+            fused = fused.astype(features.dtype)
     elif cfg.fusion_type == "mean":
         fused = jnp.mean(features, axis=1)
     else:
