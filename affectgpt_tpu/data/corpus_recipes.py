@@ -347,3 +347,51 @@ def normalize_iemocap(
             if os.path.exists(avi):
                 transcode(avi, os.path.join(save_video, f"{subname}.mp4"), start, end)
     return {"whole": len(whole), "transcribed": len(names)}
+
+
+def normalize_mer2023_unlabel(
+    data_root: str,
+    save_root: Optional[str] = None,
+    min_faces: int = 16,
+    prune: bool = False,
+) -> Dict[str, int]:
+    """MER2023 unlabeled-corpus prep (reference mer2023_unlabel.py:8-36):
+    scan `{data_root}/openface_face/{name}/{name}.npy` face stacks, record
+    per-clip frame counts to `unlabel-name2len.npz`, and flag (optionally
+    delete, reference's `rm -rf`) clips with ≤ min_faces usable faces or
+    unreadable stacks — the filter that leaves the pretraining pool.
+
+    Returns {"total", "kept", "short", "errors"}."""
+    import glob
+
+    face_root = os.path.join(data_root, "openface_face")
+    save_root = save_root or data_root
+    name2len: Dict[str, int] = {}
+    errors: List[str] = []
+    for face_dir in sorted(glob.glob(os.path.join(face_root, "*"))):
+        if not os.path.isdir(face_dir):
+            continue
+        facename = os.path.basename(face_dir)
+        face_npy = os.path.join(face_dir, facename + ".npy")
+        try:
+            faces = np.load(face_npy)
+            name2len[facename] = len(faces)
+        except Exception:
+            logger.warning("mer2023_unlabel: error file %s", facename)
+            errors.append(facename)
+    short = [n for n, ln in name2len.items() if ln <= min_faces]
+    os.makedirs(save_root, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(save_root, "unlabel-name2len.npz"), name2len=name2len
+    )
+    if prune:
+        for name in short + errors:
+            face_dir = os.path.join(face_root, name)
+            if os.path.isdir(face_dir):
+                shutil.rmtree(face_dir)
+    return {
+        "total": len(name2len) + len(errors),
+        "kept": len(name2len) - len(short),
+        "short": len(short),
+        "errors": len(errors),
+    }

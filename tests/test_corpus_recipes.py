@@ -155,3 +155,29 @@ def test_iemocap(tmp_path):
     assert calls == []
     trans_csv = pd.read_csv(tmp_path / "out" / "transcription.csv")
     assert len(trans_csv) == 2 and trans_csv["english"][0] == "Hello there."
+
+
+def test_mer2023_unlabel(tmp_path):
+    import numpy as np
+
+    from affectgpt_tpu.data import corpus_recipes as cr
+
+    root = tmp_path / "unlabel"
+    face_root = root / "openface_face"
+    for name, n in [("sample_a", 40), ("sample_b", 10), ("sample_c", 17)]:
+        d = face_root / name
+        d.mkdir(parents=True)
+        np.save(d / f"{name}.npy", np.zeros((n, 4, 4, 3), dtype=np.uint8))
+    bad = face_root / "sample_bad"
+    bad.mkdir()
+    (bad / "sample_bad.npy").write_bytes(b"not a npy")
+
+    counts = cr.normalize_mer2023_unlabel(str(root), prune=True)
+    assert counts == {"total": 4, "kept": 2, "short": 1, "errors": 1}
+    # short + unreadable pruned, the rest kept (reference mer2023_unlabel.py:30-36)
+    assert not (face_root / "sample_b").exists()
+    assert not (face_root / "sample_bad").exists()
+    assert (face_root / "sample_a").exists()
+
+    stored = np.load(root / "unlabel-name2len.npz", allow_pickle=True)["name2len"].tolist()
+    assert stored["sample_a"] == 40 and stored["sample_c"] == 17
