@@ -38,15 +38,41 @@ def save_checkpoint(
     config: Optional[dict] = None,
 ) -> str:
     """Save trainable params (+ optimizer state for resume). Frozen weights
-    are never written — the reference's requires_grad filter."""
+    are never written — the reference's requires_grad filter.
+
+    Multihost: EVERY process must call this (the shard gather is a
+    collective); only process 0 touches the filesystem."""
     path = os.path.abspath(os.path.join(output_dir, checkpoint_name(epoch, loss)))
+
+    def fetch(tree):
+        if jax.process_count() <= 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        def leaf(x):
+            # replicated leaves are directly fetchable on every host; only
+            # cross-host-sharded leaves (tp-split) need the collective
+            # gather (tiled=True reassembles the global value). The branch
+            # predicate depends only on sharding metadata, so every process
+            # takes the same collective sequence.
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if x.is_fully_replicated:
+                    return jax.device_get(x)
+                return multihost_utils.process_allgather(x, tiled=True)
+            return jax.device_get(x)
+
+        return jax.tree.map(leaf, tree)
+
     payload = {
-        "trainable": jax.device_get(trainable),
+        "trainable": fetch(trainable),
         "epoch": np.int64(epoch),
         "step": np.int64(step),
     }
     if opt_state is not None:
-        payload["opt_state"] = jax.device_get(opt_state)
+        payload["opt_state"] = fetch(opt_state)
+    # Orbax save is itself a collective in multiprocess runs (internal
+    # global sync) — EVERY process calls it; orbax writes host-replicated
+    # numpy values from the primary host only.
     _checkpointer().save(path, payload)
     if config is not None:
         import json

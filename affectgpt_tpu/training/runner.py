@@ -86,9 +86,18 @@ class Runner:
         self.tokenizer = tokenizer
         self.mesh = mesh or mesh_lib.create_mesh(tp=int(run.get("tp", 1)))
 
+        # multihost: the mesh spans all processes' devices; each process
+        # loads 1/process_count of the global batch and feeds it through
+        # make_array_from_process_local_data (reference trains multi-GPU via
+        # torchrun + DistributedSampler, my_affectgpt/common/dist_utils.py:54-79)
+        self.n_proc = jax.process_count()
+        self.is_main = jax.process_index() == 0
+
         self.max_epoch = int(run.get("max_epoch", 1))
         self.iters_per_epoch = int(run.get("iters_per_epoch", 100))
-        self.batch_size = int(run.get("batch_size_train", 1)) * self.mesh.shape["dp"]
+        global_batch = int(run.get("batch_size_train", 1)) * self.mesh.shape["dp"]
+        assert global_batch % self.n_proc == 0, (global_batch, self.n_proc)
+        self.batch_size = global_batch // self.n_proc  # per-process loader batch
         self.log_freq = int(run.get("log_freq", 50))
 
         total_steps = self.max_epoch * self.iters_per_epoch
@@ -131,8 +140,11 @@ class Runner:
                 ds.smoke_check()
                 logger.info("smoke check ok: %s (%d samples)", ds.dataset, len(ds))
 
+        # per-process seed offset: hosts draw disjoint random sample streams
+        # (the role of the reference's DistributedSampler rank sharding)
+        proc_off = 7919 * jax.process_index()
         loaders = [
-            IterLoader(ds, self.batch_size, seed=int(run.get("seed", 42)) + i)
+            IterLoader(ds, self.batch_size, seed=int(run.get("seed", 42)) + i + proc_off)
             for i, ds in enumerate(datasets)
         ]
         self.loader = MultiIterLoader(loaders, ratios, seed=int(run.get("seed", 42)))
@@ -180,13 +192,24 @@ class Runner:
             self.start_epoch = int(payload["epoch"]) + 1
             logger.info("Resumed from %s at epoch %d", resume, self.start_epoch)
 
+    def _put(self, array, sharding):
+        """Host batch → global device array. Single-process: device_put.
+        Multihost: this process's local batch is one shard of the global
+        [global_batch, ...] array (jax.make_array_from_process_local_data
+        assembles it without any cross-host copy)."""
+        if self.n_proc > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(array)
+            )
+        return jax.device_put(array, sharding)
+
     def _device_batch(self, batch: dict) -> dict:
         sharded = {}
         sharding = mesh_lib.batch_sharding(self.mesh)
         for key in ("input_ids", "attention_mask", "labels"):
-            sharded[key] = jax.device_put(batch[key], sharding)
+            sharded[key] = self._put(batch[key], sharding)
         features = {
-            m: jax.device_put(v, sharding) for m, v in batch["features"].items()
+            m: self._put(v, sharding) for m, v in batch["features"].items()
         }
         raw = batch.get("raw") or {}
         if raw and ("visual_encoder" in self.frozen or "acoustic_encoder" in self.frozen):
@@ -194,11 +217,11 @@ class Runner:
             # path (the reference's non-preextracted branch)
             from affectgpt_tpu.inference.chat import encode_media_features
 
-            raw_dev = {m: jax.device_put(v, sharding) for m, v in raw.items()}
+            raw_dev = {m: self._put(v, sharding) for m, v in raw.items()}
             features.update(encode_media_features(self.frozen, self.model_cfg, raw_dev))
         sharded["features"] = features
         sharded["offsets"] = {
-            m: jax.device_put(v, sharding) for m, v in batch["offsets"].items()
+            m: self._put(v, sharding) for m, v in batch["offsets"].items()
         }
         return sharded
 
@@ -230,8 +253,11 @@ class Runner:
         return stats
 
     def train(self) -> None:
-        self.json_log.write({"config": self.cfg.to_dict()})
-        # epoch-0 zero-shot checkpoint before training (runner_base.py:396)
+        if self.is_main:
+            self.json_log.write({"config": self.cfg.to_dict()})
+        # epoch-0 zero-shot checkpoint before training (runner_base.py:396);
+        # called on all processes — save_checkpoint gathers collectively and
+        # writes from process 0 only
         if self.start_epoch == 0:
             checkpoint.save_checkpoint(
                 self.output_dir, 0, self.state.trainable, step=0, config=self.cfg.to_dict()
@@ -260,8 +286,9 @@ class Runner:
                         loss=stats["val_loss"], config=self.cfg.to_dict(),
                     )
                     logger.info("new best val_loss %.4f at epoch %d", self.best_val, epoch)
-            self.json_log.write({"epoch": epoch, **stats})
-            self.visualizer.plot_and_save(epoch)
+            if self.is_main:
+                self.json_log.write({"epoch": epoch, **stats})
+                self.visualizer.plot_and_save(epoch)
             checkpoint.save_checkpoint(
                 self.output_dir, epoch + 1, self.state.trainable,
                 opt_state=self.state.opt_state,

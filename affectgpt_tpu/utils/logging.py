@@ -80,10 +80,27 @@ class MetricLogger:
         return self.delimiter.join(f"{k}: {v}" for k, v in self.meters.items())
 
     def synchronize_between_processes(self) -> None:
-        """Cross-host metric reduction. The reference all-reduces count/total
-        over NCCL (logger.py:37-48); under jax SPMD each host computes the
-        same global loss already, so this is a no-op unless per-host meters
-        are introduced."""
+        """Cross-host metric reduction: all-reduce each meter's count/total
+        (the reference's NCCL all_reduce, common/logger.py:37-48). Under
+        single-process SPMD every host already computes the global loss and
+        this is a no-op; with jax.distributed the per-host meters are summed
+        so global_avg agrees everywhere."""
+        import jax
+
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        keys = sorted(self.meters)
+        local = np.asarray(
+            [[self.meters[k].count, self.meters[k].total] for k in keys],
+            dtype=np.float64,
+        ) if keys else np.zeros((0, 2))
+        gathered = multihost_utils.process_allgather(local)  # [n_proc, k, 2]
+        summed = gathered.sum(axis=0)
+        for i, k in enumerate(keys):
+            self.meters[k].count = int(summed[i, 0])
+            self.meters[k].total = float(summed[i, 1])
 
     def log_every(self, iterable, print_freq: int, header: str = ""):
         start = time.time()
