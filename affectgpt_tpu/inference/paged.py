@@ -308,6 +308,11 @@ class PagedBatchServer:
         # prompts padded to a bucket multiple → the prefill program is
         # shared across prompt lengths instead of recompiling per length
         self.prefill_bucket = min(prefill_bucket, self.pcfg.max_seq_len)
+        # engine counters (continuous-batching observability)
+        self.stats = {
+            "admissions": 0, "admitted_requests": 0,
+            "decode_steps": 0, "decode_slot_tokens": 0,
+        }
 
     def _sample(self, logits: jnp.ndarray) -> jnp.ndarray:
         """logits [b, vocab] → tokens [b] (top-p when sampling, else argmax;
@@ -350,12 +355,21 @@ class PagedBatchServer:
         if not batch:
             return
         del self.pending[: len(batch)]
+        self.stats["admissions"] += 1
+        self.stats["admitted_requests"] += len(batch)
 
+        # batch-size bucket (next power of two) — bounds the number of
+        # compiled prefill programs to O(log slots × prompt buckets);
+        # dummy rows prefill 1 token into the null page (block 0)
+        n_real = len(batch)
+        n_bucket = 1
+        while n_bucket < n_real:
+            n_bucket *= 2
         t_max = max(len(r.input_ids) for r in batch)
         t_bucket = min(-(-t_max // self.prefill_bucket) * self.prefill_bucket,
                        self.pcfg.max_seq_len)
-        ids = np.zeros((len(batch), t_bucket), np.int32)
-        lengths = np.zeros(len(batch), np.int32)
+        ids = np.zeros((n_bucket, t_bucket), np.int32)
+        lengths = np.ones(n_bucket, np.int32)  # dummy rows: 1 token
         tables, padded_tables, reserves = [], [], []
         for i, req in enumerate(batch):
             ids[i, : len(req.input_ids)] = req.input_ids
@@ -372,10 +386,22 @@ class PagedBatchServer:
             padded[: len(table)] = table
             tables.append(table)
             padded_tables.append(padded)
-        feats = {m: jnp.asarray(np.stack([r.features[m] for r in batch]))
-                 for m in signature}
-        offs = {m: jnp.asarray([r.offsets.get(m, -1) for r in batch], jnp.int32)
-                for m in signature}
+        n_dummy = n_bucket - n_real
+        for _ in range(n_dummy):  # dummy rows: 1 token into the null page
+            padded_tables.append(np.zeros(self.pcfg.max_blocks_per_seq, np.int32))
+        feats = {
+            m: jnp.asarray(np.stack(
+                [r.features[m] for r in batch]
+                + [np.zeros_like(np.asarray(batch[0].features[m]))] * n_dummy
+            ))
+            for m in signature
+        }
+        offs = {
+            m: jnp.asarray(
+                [r.offsets.get(m, -1) for r in batch] + [-1] * n_dummy, jnp.int32
+            )
+            for m in signature
+        }
         embeds = self._build_embeds(
             self.frozen, self.trainable, self.cfg, jnp.asarray(ids), feats, offs,
         )
@@ -422,14 +448,26 @@ class PagedBatchServer:
             self.alloc.extend(s["table"], s["pos"], s["pos"] + 1)
             s["reserved"] -= len(s["table"]) - before
             s["padded"][: len(s["table"])] = s["table"]
-        tokens = jnp.asarray([s["tokens"][-1] for _, s in live])
-        positions = jnp.asarray([s["pos"] for _, s in live])
-        tables = jnp.asarray(np.stack([s["padded"] for _, s in live]))
+        # pad the live set to max_slots so the decode step compiles ONCE
+        # (live count churns every step under continuous batching; dummy
+        # rows decode token 0 at position 0 into the null page — block 0 is
+        # reserved for exactly this, and no real table maps it)
+        n_pad = self.max_slots - len(live)
+        tokens = jnp.asarray(
+            [s["tokens"][-1] for _, s in live] + [0] * n_pad, jnp.int32
+        )
+        positions = jnp.asarray([s["pos"] for _, s in live] + [0] * n_pad, jnp.int32)
+        tables = jnp.asarray(np.stack(
+            [s["padded"] for _, s in live]
+            + [np.zeros(self.pcfg.max_blocks_per_seq, np.int32)] * n_pad
+        ))
         logits, self.pools = paged_decode_step(
             self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
             tables, self.pcfg, lora=self.trainable["lora"],
             use_pallas=self._pool_sharding is None,
         )
+        self.stats["decode_steps"] += 1
+        self.stats["decode_slot_tokens"] += len(live)
         sampled = np.asarray(self._sample(logits), np.int32)
         for row, (i, s) in enumerate(live):
             token = int(sampled[row])

@@ -76,6 +76,9 @@ def parse_args():
                              "(top-p sampling; HBM bounded by tokens in flight)")
     parser.add_argument("--paged_block_size", type=int, default=16)
     parser.add_argument("--paged_num_blocks", type=int, default=2048)
+    parser.add_argument("--paged_slots", type=int, default=16,
+                        help="concurrent sequences in the continuous-batching "
+                             "engine (decode batch is padded to this)")
     parser.add_argument("--greedy", action="store_true", default=False,
                         help="greedy decoding (reproducible quality runs; "
                         "default is the reference's top-p 0.9 sampling)")
@@ -221,51 +224,49 @@ def main() -> None:
         )
 
 
-def answer_batch_paged(args, chat, face_or_frame, subtitles, user_message, stacked,
-                       seed: int = 0):
-    """Route one chunk through the paged-KV continuous-batching engine
-    (top-p sampling, matching chat.answer_batch semantics). Features arrive
-    stacked [b, t, d]; each request takes its row."""
-    from affectgpt_tpu.inference.generate import trim_output_text
+def make_paged_server(args, chat, max_prompt_tokens: int):
+    """ONE long-lived continuous-batching engine for a whole dataset pass:
+    requests stream in as chunks load and admission happens whenever slots
+    free up, so prefill/decode overlap ACROSS chunks (vLLM-style serving;
+    the engine itself is affectgpt_tpu.inference.paged)."""
     from affectgpt_tpu.inference.paged import PagedBatchServer, PagedConfig
-    from affectgpt_tpu.inference.server import Request
 
-    ids, lengths, offsets = chat.build_prompt_batch(
-        face_or_frame, subtitles, user_message
-    )
-    max_tokens = int(lengths.max()) + args.max_new_tokens
+    import jax.numpy as jnp
+
+    max_tokens = max_prompt_tokens + args.max_new_tokens
     pcfg = PagedConfig(
         block_size=args.paged_block_size,
         num_blocks=args.paged_num_blocks,
         max_blocks_per_seq=-(-max_tokens // args.paged_block_size),
     )
-    import jax.numpy as jnp
-
     pool_dtype = (
         jnp.int8 if chat.kv_cache_dtype == "int8"
         else chat.frozen["llm"]["embed_tokens"]["table"].dtype
     )
-    server = PagedBatchServer(
+    return PagedBatchServer(
         chat.frozen, chat.trainable, chat.cfg, chat.tokenizer,
-        pcfg=pcfg, max_slots=min(len(subtitles), 16),
+        pcfg=pcfg, max_slots=args.paged_slots,
         dtype=pool_dtype,
-        do_sample=not args.greedy, top_p=0.9, seed=seed, mesh=chat.mesh,
+        do_sample=not args.greedy, top_p=0.9, seed=0, mesh=chat.mesh,
+    )
+
+
+def submit_chunk_paged(server, chat, face_or_frame, subtitles, user_message,
+                       stacked, first_rid: int, max_new_tokens: int):
+    """Tokenize one loaded chunk and stream its requests into the engine."""
+    from affectgpt_tpu.inference.server import Request
+
+    ids, lengths, offsets = chat.build_prompt_batch(
+        face_or_frame, subtitles, user_message
     )
     for i in range(len(subtitles)):
         server.submit(Request(
-            request_id=i,
+            request_id=first_rid + i,
             input_ids=np.asarray(ids[i][: lengths[i]], np.int32),
             features={m: np.asarray(v[i]) for m, v in stacked.items()},
             offsets={m: int(o[i]) for m, o in offsets.items()},
-            max_new_tokens=args.max_new_tokens,
+            max_new_tokens=max_new_tokens,
         ))
-    results = server.run_until_drained()
-    return [
-        trim_output_text(
-            chat.tokenizer.decode(results[i], skip_special_tokens=True)
-        )
-        for i in range(len(subtitles))
-    ]
 
 
 def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
@@ -303,6 +304,8 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
 
         pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         pending = pool.submit(load_chunk, chunks[0]) if chunks else None
+        paged_server = None
+        rid2name = {}
         for ci, chunk in enumerate(chunks):
             start = ci * bs
             feats_per_name, subtitles = pending.result()
@@ -323,9 +326,27 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
                     )
                     stacked.update(enc)
             if args.paged:
-                responses = answer_batch_paged(
-                    args, chat, face_or_frame, subtitles, user_message, stacked,
-                    seed=start,
+                # continuous batching: one engine for the whole dataset;
+                # submit this chunk's requests and pump the engine only while
+                # its backlog exceeds the slot count — admission proceeds
+                # whenever slots free, overlapping requests across chunks
+                if paged_server is None:
+                    paged_server = make_paged_server(
+                        args, chat, max_prompt_tokens=chat.max_len
+                    )
+                for i, name in enumerate(chunk):
+                    rid2name[start + i] = name
+                submit_chunk_paged(
+                    paged_server, chat, face_or_frame, subtitles, user_message,
+                    stacked, first_rid=start, max_new_tokens=args.max_new_tokens,
+                )
+                while len(paged_server.pending) > paged_server.max_slots:
+                    paged_server.step()
+                logger.info(
+                    "%s: %d/%d submitted (%d done, %d in flight)",
+                    ds_name, start + len(chunk), len(test_names),
+                    len(paged_server.results),
+                    sum(s is not None for s in paged_server.slots),
                 )
             else:
                 responses = chat.answer_batch(
@@ -333,9 +354,18 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
                     rng=jax.random.PRNGKey(start), max_new_tokens=args.max_new_tokens,
                     do_sample=not args.greedy,
                 )
-            for name, response in zip(chunk, responses):
-                name2reason[name] = response
-            logger.info("%s: %d/%d clips", ds_name, start + len(chunk), len(test_names))
+                for name, response in zip(chunk, responses):
+                    name2reason[name] = response
+                logger.info("%s: %d/%d clips", ds_name, start + len(chunk), len(test_names))
+        if args.paged and paged_server is not None:
+            from affectgpt_tpu.inference.generate import trim_output_text
+
+            results = paged_server.run_until_drained()
+            for rid, tokens in results.items():
+                name2reason[rid2name[rid]] = trim_output_text(
+                    tokenizer.decode(tokens, skip_special_tokens=True)
+                )
+            logger.info("paged engine stats: %s", paged_server.stats)
         pool.shutdown(wait=False)
 
         np.savez_compressed(save_path, name2reason=name2reason)
