@@ -201,23 +201,27 @@ def merge_lora(params: dict, lora: dict, cfg: QwenConfig) -> dict:
     return out
 
 
-def fuse_qkv_gateup(params: dict, cfg: QwenConfig) -> dict:
+def fuse_qkv_gateup(params: dict, cfg: QwenConfig, fuse_gateup: bool = True) -> dict:
     """Serving-layout transform: concatenate q/k/v into one [h, nq+2·nkv]
-    matmul and gate/up into one [h, 2·I] matmul. Exactly equal math (a dot
-    against concatenated columns computes each output column identically,
-    and per-output-channel quantization commutes with the concat), but a
-    decode step runs 3 fewer matmul ops per layer — q=1 decode is op-
-    dispatch-bound, not FLOPs-bound. Apply AFTER merge_lora and BEFORE
-    quantize_params; single-chip layout only (a tp mesh would shard the
-    concatenated columns across the q/k/v boundary)."""
+    matmul and (optionally) gate/up into one [h, 2·I] matmul. Exactly equal
+    math (a dot against concatenated columns computes each output column
+    identically, and per-output-channel quantization commutes with the
+    concat), but a decode step runs up to 3 fewer matmul ops per layer —
+    q=1 decode is op-dispatch-bound, not FLOPs-bound. Apply AFTER
+    merge_lora and BEFORE quantize_params; single-chip layout only (a tp
+    mesh would shard the concatenated columns across the q/k/v boundary).
+
+    fuse_gateup=False keeps gate/up split: the fused [h, 2·I] leaf's
+    prefill-time XLA dequant transient (~271 MB bf16 at 7B) is what OOMs
+    fused serving at b352 — the qkv-only layout keeps 2 of the 3 saved
+    decode ops with a transient 8× smaller."""
     layers = []
     for layer in params["layers"]:
         assert "w" in layer["q_proj"], "fuse_qkv_gateup expects unquantized weights"
-        fused = {
-            k: v
-            for k, v in layer.items()
-            if k not in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
-        }
+        drop = ("q_proj", "k_proj", "v_proj") + (
+            ("gate_proj", "up_proj") if fuse_gateup else ()
+        )
+        fused = {k: v for k, v in layer.items() if k not in drop}
         qkv = {
             "w": jnp.concatenate(
                 [layer[n]["w"] for n in ("q_proj", "k_proj", "v_proj")], axis=1
@@ -228,11 +232,12 @@ def fuse_qkv_gateup(params: dict, cfg: QwenConfig) -> dict:
                 [layer[n]["b"] for n in ("q_proj", "k_proj", "v_proj")]
             )
         fused["qkv_proj"] = qkv
-        fused["gateup_proj"] = {
-            "w": jnp.concatenate(
-                [layer["gate_proj"]["w"], layer["up_proj"]["w"]], axis=1
-            )
-        }
+        if fuse_gateup:
+            fused["gateup_proj"] = {
+                "w": jnp.concatenate(
+                    [layer["gate_proj"]["w"], layer["up_proj"]["w"]], axis=1
+                )
+            }
         layers.append(fused)
     return {**params, "layers": layers}
 
@@ -289,13 +294,19 @@ def init_quantized_params(
     layers = []
     for i in range(cfg.num_layers):
         k = jax.random.split(keys[i], 7)
-        if fused:  # serving layout (fuse_qkv_gateup): qkv + gateup concat
+        if fused:  # serving layout (fuse_qkv_gateup): qkv (+ gateup) concat;
+            # fused="qkv" keeps gate/up split (smaller prefill dequant
+            # transient — see fuse_qkv_gateup)
             layer = {
                 "qkv_proj": qdense(k[0], cfg.hidden_size, n_q_dim + 2 * n_kv_dim, cfg.qkv_bias),
                 "o_proj": qdense(k[3], n_q_dim, cfg.hidden_size, False),
-                "gateup_proj": qdense(k[4], cfg.hidden_size, 2 * cfg.intermediate_size, False),
                 "down_proj": qdense(k[6], cfg.intermediate_size, cfg.hidden_size, False),
             }
+            if fused == "qkv":
+                layer["gate_proj"] = qdense(k[4], cfg.hidden_size, cfg.intermediate_size, False)
+                layer["up_proj"] = qdense(k[5], cfg.hidden_size, cfg.intermediate_size, False)
+            else:
+                layer["gateup_proj"] = qdense(k[4], cfg.hidden_size, 2 * cfg.intermediate_size, False)
         else:
             layer = {
                 "q_proj": qdense(k[0], cfg.hidden_size, n_q_dim, cfg.qkv_bias),

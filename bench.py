@@ -127,10 +127,12 @@ def main():
         if layers_override:  # decode cost-structure sweeps (per-layer vs fixed)
             llm_cfg = qwen2.QwenConfig(**{**llm_cfg.__dict__, "num_layers": layers_override})
         # BENCH_FUSED=1: qkv + gate/up concatenated layout (wins at b<=256,
-        # OOMs earlier — measured; default off, matching inference_hybird)
-        cfg, frozen, trainable = build(
-            llm_cfg, quant_bits=BITS, fused=bool(int(os.environ.get("BENCH_FUSED", 0)))
-        )
+        # OOMs earlier — measured; default off, matching inference_hybird).
+        # BENCH_FUSED=qkv: qkv-only fusion (8× smaller prefill dequant
+        # transient than the gateup concat — the b352 OOM fix candidate).
+        fused_env = os.environ.get("BENCH_FUSED", "0")
+        fused = "qkv" if fused_env == "qkv" else bool(int(fused_env or 0))
+        cfg, frozen, trainable = build(llm_cfg, quant_bits=BITS, fused=fused)
     else:
         llm_cfg = qwen_3b_config()
         cfg, frozen, trainable = build(llm_cfg)

@@ -76,6 +76,9 @@ def parse_args():
                              "(top-p sampling; HBM bounded by tokens in flight)")
     parser.add_argument("--paged_block_size", type=int, default=16)
     parser.add_argument("--paged_num_blocks", type=int, default=2048)
+    parser.add_argument("--fuse_mode", choices=["full", "qkv"], default="full",
+                        help="with --fuse_qkv: concat qkv+gateup (full) or "
+                             "qkv only (smaller prefill dequant transient)")
     parser.add_argument("--paged_slots", type=int, default=16,
                         help="concurrent sequences in the continuous-batching "
                              "engine (decode batch is padded to this)")
@@ -199,8 +202,11 @@ def main() -> None:
             if args.fuse_qkv and mesh is None and not args.paged:
                 # single-chip dense engine: concat qkv and gate/up (3 fewer
                 # ops per layer per decode step; tp shards and the paged
-                # engine keep the split layout)
-                llm = qwen2.fuse_qkv_gateup(llm, model_cfg.llm)
+                # engine keep the split layout). --fuse_mode qkv keeps
+                # gate/up split — 8× smaller prefill dequant transient
+                llm = qwen2.fuse_qkv_gateup(
+                    llm, model_cfg.llm, fuse_gateup=args.fuse_mode == "full"
+                )
             if quant_bits:
                 llm = qwen2.quantize_params(llm, bits=quant_bits)
             serve_frozen = {**serve_frozen, "llm": llm}

@@ -197,6 +197,26 @@ class TestFusedLayout:
         got, _ = gen.generate(fused, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
+    def test_fused_qkv_only_token_identical(self):
+        """fuse_gateup=False (qkv-only serving layout — the small-transient
+        variant) is also a pure layout change."""
+        from affectgpt_tpu.inference import generate as gen
+
+        cfg = qwen2.QwenConfig.tiny()
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        fused = qwen2.fuse_qkv_gateup(params, cfg, fuse_gateup=False)
+        layer0 = fused["layers"][0]
+        assert "qkv_proj" in layer0 and "gateup_proj" not in layer0
+        assert "gate_proj" in layer0 and "up_proj" in layer0
+        ids = jax.random.randint(jax.random.PRNGKey(1), (2, 6), 0, cfg.vocab_size)
+        embeds = qwen2.embed_tokens(params, ids)
+        lengths = jnp.array([6, 4])
+        gcfg = gen.GenerateConfig(max_new_tokens=6, do_sample=False, eos_token_id=257)
+        ref, _ = gen.generate(params, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16)
+        got, _ = gen.generate(fused, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
     def test_fused_then_quantized_forward(self):
         """fuse → quantize composes (per-channel scales commute with the
         column concat): logits match quantize-then-split within rounding."""
