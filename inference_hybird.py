@@ -86,7 +86,11 @@ def parse_args():
                         help="greedy decoding (reproducible quality runs; "
                         "default is the reference's top-p 0.9 sampling)")
     parser.add_argument("--speculative", type=int, default=0, metavar="D",
-                        help="prompt-lookup speculative decoding with D draft "
+                        help="EXPERIMENTAL: on this stack the verify step costs "
+                             "~2.8x a plain decode step, so even ~full draft "
+                             "acceptance only reaches ~1.11x (0.37x floor) — "
+                             "measured envelope in scripts/bench_speculative.py. "
+                             "prompt-lookup speculative decoding with D draft "
                              "tokens per verify step (greedy-exact — same "
                              "tokens, fewer weight sweeps on decode-heavy "
                              "reasoning outputs). Requires --greedy; dense "
@@ -219,6 +223,10 @@ def main() -> None:
         if args.speculative:
             assert args.greedy, "--speculative is greedy-exact; add --greedy"
             assert not args.paged, "--speculative runs on the dense engine"
+            print("WARNING: --speculative is EXPERIMENTAL on TPU: the verify "
+                  "step costs ~2.8x a plain decode step; break-even needs "
+                  ">~90% draft acceptance (measured: 1.11x ceiling, 0.37x "
+                  "floor — scripts/bench_speculative.py)", flush=True)
         chat = Chat(serve_frozen, epoch_trainable, model_cfg, tokenizer,
                     kv_cache_dtype=inference_cfg.get("kv_cache_dtype"),
                     mesh=mesh,
