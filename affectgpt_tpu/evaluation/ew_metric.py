@@ -21,11 +21,27 @@ import numpy as np
 from affectgpt_tpu.evaluation.wheel import WheelMetrics
 
 
+# Optional hook applied to every loaded reason string before judging —
+# third-party result dumps (e.g. Emotion-LLaMA) carry answer decorations
+# that must be stripped (reference evaluation_Emotion-Llama.py's parsing).
+# Set via set_reason_normalizer(); None = identity.
+_REASON_NORMALIZER = None
+
+
+def set_reason_normalizer(fn) -> None:
+    global _REASON_NORMALIZER
+    _REASON_NORMALIZER = fn
+
+
 def load_name2reason(npz_path: str) -> Dict[str, str]:
     data = np.load(npz_path, allow_pickle=True)
     if "name2reason" in data:
-        return dict(data["name2reason"].tolist())
-    return dict(zip(data["filenames"].tolist(), data["fileitems"].tolist()))
+        out = dict(data["name2reason"].tolist())
+    else:
+        out = dict(zip(data["filenames"].tolist(), data["fileitems"].tolist()))
+    if _REASON_NORMALIZER is not None:
+        out = {k: _REASON_NORMALIZER(v) for k, v in out.items()}
+    return out
 
 
 def save_filenames_npz(path: str, name2item: Dict[str, str]) -> None:

@@ -43,8 +43,10 @@ def build_judge(use_llm: bool):
     return LexiconJudge()
 
 
-def main_zeroshot_scores(input_dir: str, use_llm: bool = True):
-    judge = build_judge(use_llm)
+def main_zeroshot_scores(input_dir: str, use_llm: bool = True, judge=None):
+    """judge=None builds the default (LLM or lexicon) judge; entry-point
+    variants pass their own (score-only cache stub, etc.)."""
+    judge = judge if judge is not None else build_judge(use_llm)
     wheel = WheelMetrics()
     data_model_cfg = ModelDataConfig()
 

@@ -32,15 +32,8 @@ if __name__ == "__main__":
     args = parser.parse_args()
     setup_logger()
 
-    import numpy as np
-
     import evaluation
     from affectgpt_tpu.evaluation import ew_metric
 
-    _orig = ew_metric.load_name2reason
-
-    def patched(npz_path):
-        return {k: normalize_baseline_answer(v) for k, v in _orig(npz_path).items()}
-
-    ew_metric.load_name2reason = patched
+    ew_metric.set_reason_normalizer(normalize_baseline_answer)
     evaluation.main_zeroshot_scores(args.input_dir, use_llm=not args.no_llm)

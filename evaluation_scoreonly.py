@@ -34,5 +34,4 @@ if __name__ == "__main__":
 
     import evaluation
 
-    evaluation.build_judge = lambda use_llm: CacheOnlyJudge()  # type: ignore[assignment]
-    evaluation.main_zeroshot_scores(args.input_dir, use_llm=False)
+    evaluation.main_zeroshot_scores(args.input_dir, use_llm=False, judge=CacheOnlyJudge())
