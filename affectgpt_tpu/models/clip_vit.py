@@ -17,12 +17,25 @@ TPU design notes:
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
 
 from affectgpt_tpu.models import nn
+
+# Attention implementation for the vision tower: "auto" = fused Pallas
+# kernel on TPU (no HBM score tensor — the realtime-path win), XLA
+# elsewhere; "xla" forces the reference-shaped full-softmax path.
+ATTN_IMPL = os.environ.get("CLIP_ATTN", "auto")
+
+
+def _use_fused_attn() -> bool:
+    impl = ATTN_IMPL
+    if impl == "auto":
+        return jax.default_backend() == "tpu"
+    return impl == "flash"
 
 
 @dataclass(frozen=True)
@@ -88,9 +101,14 @@ def _init_block(rng, width: int, num_heads: int, mlp_dim: int, dtype):
     }
 
 
-def _apply_block(block, x, num_heads: int, eps: float, mask=None):
+def _apply_block(block, x, num_heads: int, eps: float, mask=None, valid_len=None):
     h = nn.layernorm(block["ln1"], x, eps)
-    x = x + nn.mha(block["attn"], h, h, num_heads, mask)
+    if valid_len is not None and mask is None and _use_fused_attn():
+        from affectgpt_tpu.ops import vit_attention_pallas
+
+        x = x + vit_attention_pallas.mha_fused(block["attn"], h, num_heads, valid_len)
+    else:
+        x = x + nn.mha(block["attn"], h, h, num_heads, mask)
     h = nn.layernorm(block["ln2"], x, eps)
     x = x + nn.dense(block["mlp_out"], quick_gelu(nn.dense(block["mlp_in"], h)))
     return x
@@ -135,14 +153,36 @@ def encode_image(params: dict, cfg: ClipVisionConfig, images: jnp.ndarray) -> jn
     post-LN on CLS → visual projection.
     """
     b = images.shape[0]
-    patches = patchify(images.astype(params["patch_embed"]["w"].dtype), cfg.patch_size)
-    x = nn.dense_nobias(params["patch_embed"], patches)  # [b, N, width]
+    if os.environ.get("CLIP_PATCHIFY", "unfold") == "conv" and "w" in params["patch_embed"]:
+        w = params["patch_embed"]["w"]
+        # A/B variant: stride-P conv (XLA lowers to implicit im2col on the
+        # MXU) instead of the explicit 6-D unfold transpose; same math —
+        # our flatten order is (C, ph, pw), so the kernel reshape is
+        # [C, P, P, width] → HWIO
+        p = cfg.patch_size
+        kernel = w.reshape(3, p, p, cfg.width).transpose(1, 2, 0, 3)
+        x = jax.lax.conv_general_dilated(
+            images.astype(w.dtype), kernel, (p, p), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = x.reshape(b, -1, cfg.width)
+    else:
+        pe = params["patch_embed"]
+        patch_dtype = pe["w"].dtype if "w" in pe else images.dtype
+        patches = patchify(images.astype(patch_dtype), cfg.patch_size)
+        x = nn.dense_nobias(pe, patches)  # [b, N, width]
     cls = jnp.broadcast_to(params["class_embed"], (b, 1, cfg.width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"]["table"][None, : x.shape[1]].astype(x.dtype)
     x = nn.layernorm(params["pre_ln"], x, cfg.layer_norm_eps)
+    valid_len = x.shape[1]
+    if _use_fused_attn() and valid_len % 8:
+        # sublane-pad the token axis once for the whole stack (257 → 264
+        # for ViT-L); padded keys are masked in-kernel, padded query rows
+        # are dead weight the CLS pooling never reads
+        x = jnp.pad(x, ((0, 0), (0, -valid_len % 8), (0, 0)))
     for block in params["blocks"]:
-        x = _apply_block(block, x, cfg.num_heads, cfg.layer_norm_eps)
+        x = _apply_block(block, x, cfg.num_heads, cfg.layer_norm_eps, valid_len=valid_len)
     pooled = nn.layernorm(params["post_ln"], x[:, 0], cfg.layer_norm_eps)
     return nn.dense_nobias(params["proj"], pooled)
 

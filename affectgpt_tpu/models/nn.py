@@ -27,6 +27,10 @@ def dense_init(rng, in_dim: int, out_dim: int, scale: float = 0.02, dtype=jnp.fl
 
 
 def dense(params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in params:  # int8 tower serving mode (quantize_encoder_tree)
+        from affectgpt_tpu.ops import quant
+
+        return quant.dense_w8a8_xla(x, params["w_q"], params["scales"], params.get("b"))
     y = jnp.dot(x, params["w"], preferred_element_type=jnp.float32)
     y = y + params["b"].astype(jnp.float32)
     return y.astype(x.dtype)
@@ -37,6 +41,10 @@ def dense_nobias_init(rng, in_dim: int, out_dim: int, scale: float = 0.02, dtype
 
 
 def dense_nobias(params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in params:  # int8 tower serving mode (quantize_encoder_tree)
+        from affectgpt_tpu.ops import quant
+
+        return quant.dense_w8a8_xla(x, params["w_q"], params["scales"])
     return jnp.dot(x, params["w"], preferred_element_type=jnp.float32).astype(x.dtype)
 
 
@@ -93,19 +101,50 @@ def mha_init(rng, q_dim: int, kv_dim: int, num_heads: int, head_dim: Optional[in
     }
 
 
+def _fused_self_attn_ok(tq: int, tk: int, head_dim: int, mask) -> bool:
+    """Dispatch gate for the fused Pallas encoder-attention kernel: full
+    (unmasked) self-attention at perf-relevant geometry on TPU. Env
+    AFFECTGPT_FUSED_MHA=0 forces the XLA path everywhere."""
+    import os
+
+    if os.environ.get("AFFECTGPT_FUSED_MHA", "auto") == "0":
+        return False
+    return (
+        mask is None
+        and tq == tk
+        # short sequences lose: at HuBERT's 99 tokens the kernel's per-layer
+        # pad/slice and per-step dispatch cost MORE than the unfused score
+        # round-trip saves (measured −8% on the audio realtime path); the
+        # win starts where the n² score tensor dominates (CLIP's 257+)
+        and tq >= 192
+        and head_dim % 8 == 0
+        and head_dim >= 32
+        and jax.default_backend() == "tpu"
+    )
+
+
 def mha(params, q_input: jnp.ndarray, kv_input: jnp.ndarray, num_heads: int,
         mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Attention with full softmax in fp32. q_input [b, tq, dq],
     kv_input [b, tk, dkv], mask broadcastable to [b, h, tq, tk] (bool,
-    True = attend)."""
+    True = attend). Unmasked self-attention at encoder geometry routes
+    through the fused Pallas kernel on TPU (no HBM score tensor)."""
     b, tq, _ = q_input.shape
     tk = kv_input.shape[1]
-    inner = params["q"]["w"].shape[1]
+    q_w = params["q"].get("w", params["q"].get("w_q"))
+    inner = q_w.shape[1]
     head_dim = inner // num_heads
 
     q = dense(params["q"], q_input).reshape(b, tq, num_heads, head_dim)
     k = dense(params["k"], kv_input).reshape(b, tk, num_heads, head_dim)
     v = dense(params["v"], kv_input).reshape(b, tk, num_heads, head_dim)
+
+    if _fused_self_attn_ok(tq, tk, head_dim, mask):
+        from affectgpt_tpu.ops import vit_attention_pallas
+
+        out = vit_attention_pallas.fused_self_attention(q, k, v, valid_len=tk)
+        out = out.astype(q_input.dtype).reshape(b, tq, inner)
+        return dense(params["o"], out)
 
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits / math.sqrt(head_dim)

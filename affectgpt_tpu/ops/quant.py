@@ -409,3 +409,31 @@ PALLAS_DEQUANT_MAX_M = int(__import__("os").environ.get("AFFECTGPT_PALLAS_MAX_M"
 # route to the XLA dequant path instead — its transient bf16 weight write
 # (~5× the int4 bytes) is still far cheaper than the Mosaic degenerate case.
 PALLAS_INT4_MIN_M = int(__import__("os").environ.get("AFFECTGPT_PALLAS_INT4_MIN_M", 16))
+
+
+def dense_w8a8_xla(x: jnp.ndarray, w_q: jnp.ndarray, scales: jnp.ndarray, b=None) -> jnp.ndarray:
+    """W8A8 dense through XLA's native int8 MXU path (v5e: 2× the bf16
+    rate): dynamic per-row activation quantization + per-output-channel
+    int8 weights, int8×int8 → int32 dot, fp32 rescale. The encoder serving
+    mode (frozen compute-bound towers — CLIP/HuBERT); the LLM decoder uses
+    the Pallas kernels above instead."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(absmax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * sx * scales.astype(jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+# Encoder towers reuse the decoder leaf format ({"w_q","scales","b"?});
+# nn.dense/dense_nobias dispatch on it and run dense_w8a8_xla — the
+# compute-bound frozen towers (CLIP/HuBERT) get the 2× int8 MXU rate.
+# Conv / LN / embedding leaves (non-2-D or no "w") pass through untouched.
+quantize_encoder_tree = quantize_dense_tree

@@ -14,7 +14,7 @@ device compute path. Encoder weights are random — throughput identical
 to converted checkpoints.
 
 Run: python scripts/bench_realtime.py      (one TPU process at a time)
-Env: RT_BATCH (64), RT_FRAMES (8), RT_NEW (32).
+Env: RT_BATCH (64), RT_FRAMES (8), RT_NEW (32), RT_W8A8=1 (int8 encoders).
      RT_SKIP=visual|audio drops one encoder side — attribution sweeps.
 """
 
@@ -70,6 +70,13 @@ def main():
     frozen["acoustic_encoder"] = hubert.init_params(
         jax.random.PRNGKey(3), audio_cfg, dtype=jnp.bfloat16
     )
+    if os.environ.get("RT_W8A8"):
+        # int8 encoder serving: the towers are compute-bound — int8×int8
+        # MXU matmuls run at 2× the bf16 rate on v5e
+        from affectgpt_tpu.ops import quant
+
+        frozen["visual_encoder"] = quant.quantize_encoder_tree(frozen["visual_encoder"])
+        frozen["acoustic_encoder"] = quant.quantize_encoder_tree(frozen["acoustic_encoder"])
     print(f"# device: {jax.devices()[0]}", flush=True)
 
     rng = np.random.RandomState(0)
