@@ -646,10 +646,23 @@ def forward(
     if remat:
         layer_fn = jax.checkpoint(layer_fn, static_argnums=())
 
+    # AFFECTGPT_LAYER_BARRIER=1: pin layer boundaries with an
+    # optimization_barrier so XLA's scheduler cannot keep many layers'
+    # prefill activations live at once — the int8-KV 7B serving config
+    # OOMs on exactly that HLO-temp high-water doubling (scheduler
+    # artifact; see CLAUDE.md int8-KV notes)
+    import os as _os
+
+    barrier = _os.environ.get("AFFECTGPT_LAYER_BARRIER", "0") == "1"
     for i, layer in enumerate(params["layers"]):
         lora_layer = lora["layers"][i] if lora is not None else None
         layer_cache = cache[i] if cache is not None else None
         x, updated = layer_fn(x, layer, lora_layer, layer_cache)
+        if barrier:
+            if updated is not None:
+                x, updated = jax.lax.optimization_barrier((x, updated))
+            else:
+                x = jax.lax.optimization_barrier(x)
         if new_cache is not None:
             new_cache.append(updated)
 
