@@ -1,0 +1,135 @@
+"""Paged continuous-batching vs dense batch serving on one TPU chip.
+
+Publishes the paged-vs-dense clips/s comparison at serving batch (the
+round-2 gap: the engine existed but had no measured number). Same 3B
+merged-LoRA serving weights and clip workload as bench.py; the dense path
+decodes fixed batches through the compiled generate(); the paged path
+streams the same requests through PagedBatchServer (slots ≪ requests,
+admission as slots free).
+
+Caveat (axon relay): the paged engine's host step loop syncs the sampled
+tokens every decode step — through the relay each sync adds RTT that a
+locally-attached chip would not see; the dense path syncs once per batch.
+The printed per-step anatomy separates the two.
+
+Run: python scripts/bench_paged.py
+Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32), PAGED_DENSE_BATCH (256).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REQUESTS = int(os.environ.get("PAGED_REQUESTS", 256))
+SLOTS = int(os.environ.get("PAGED_SLOTS", 64))
+NEW = int(os.environ.get("PAGED_NEW", 32))
+DENSE_BATCH = int(os.environ.get("PAGED_DENSE_BATCH", 256))
+PROMPT_LEN = 128
+
+
+class _Tok:
+    eos_token_id = 0
+
+
+def main():
+    from affectgpt_tpu.inference import generate as gen
+    from affectgpt_tpu.inference.paged import PagedBatchServer, PagedConfig
+    from affectgpt_tpu.inference.server import Request
+    from bench import build, make_clip_batch, qwen_3b_config
+
+    cfg, frozen, trainable = build(qwen_3b_config())
+    print(f"# device: {jax.devices()[0]}", flush=True)
+    input_ids, feats, offsets = make_clip_batch(cfg, DENSE_BATCH)
+
+    # ---- dense path: fixed batches through compiled generate ----
+    from affectgpt_tpu.models import affectgpt
+
+    lengths = jnp.full((DENSE_BATCH,), PROMPT_LEN, jnp.int32)
+    gcfg = gen.GenerateConfig(max_new_tokens=NEW, do_sample=False, eos_token_id=0)
+    max_len = PROMPT_LEN + NEW + 32
+
+    @jax.jit
+    def dense_answer(frozen, trainable, input_ids):
+        embeds = affectgpt.build_inputs_embeds(
+            frozen, trainable, cfg, input_ids, feats, offsets
+        )
+        return gen.generate(
+            frozen["llm"], cfg.llm, gcfg, embeds, lengths, jax.random.PRNGKey(0),
+            max_len=max_len, lora=trainable["lora"],
+        )
+
+    tokens, _ = dense_answer(frozen, trainable, input_ids)
+    np.asarray(tokens)  # compile + fence
+    n_batches = -(-REQUESTS // DENSE_BATCH)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        np.asarray(dense_answer(frozen, trainable, input_ids)[0])
+    dense_dt = time.perf_counter() - t0
+    dense_cps = n_batches * DENSE_BATCH / dense_dt
+    print(json.dumps({"dense_clips_per_s": round(dense_cps, 1),
+                      "batch": DENSE_BATCH}), flush=True)
+
+    # ---- paged path: stream the same requests through the engine ----
+    max_tokens = PROMPT_LEN + NEW
+    pcfg = PagedConfig(
+        block_size=16,
+        num_blocks=SLOTS * (-(-max_tokens // 16)) + 64,
+        max_blocks_per_seq=-(-max_tokens // 16),
+    )
+    server = PagedBatchServer(
+        frozen, trainable, cfg, _Tok(), pcfg=pcfg, max_slots=SLOTS,
+        dtype=frozen["llm"]["embed_tokens"]["table"].dtype, do_sample=False,
+    )
+    feats_np = {m: np.asarray(v) for m, v in feats.items()}
+    ids_np = np.asarray(input_ids)
+    # warm the compiled programs (full-bucket prefill + decode step)
+    for i in range(SLOTS):
+        server.submit(Request(
+            request_id=10_000 + i, input_ids=ids_np[i % DENSE_BATCH],
+            features={m: v[i % DENSE_BATCH] for m, v in feats_np.items()},
+            offsets={m: int(np.asarray(o)[i % DENSE_BATCH]) for m, o in offsets.items()},
+            max_new_tokens=NEW,
+        ))
+    server.run_until_drained()
+    server.results.clear()
+    server.stats = {k: 0 for k in server.stats}
+
+    for i in range(REQUESTS):
+        server.submit(Request(
+            request_id=i, input_ids=ids_np[i % DENSE_BATCH],
+            features={m: v[i % DENSE_BATCH] for m, v in feats_np.items()},
+            offsets={m: int(np.asarray(o)[i % DENSE_BATCH]) for m, o in offsets.items()},
+            max_new_tokens=NEW,
+        ))
+    t0 = time.perf_counter()
+    server.run_until_drained()
+    paged_dt = time.perf_counter() - t0
+    paged_cps = REQUESTS / paged_dt
+    stats = server.stats
+    occupancy = stats["decode_slot_tokens"] / max(stats["decode_steps"] * SLOTS, 1)
+    print(json.dumps({
+        "metric": f"paged vs dense clips/s (3B, {REQUESTS} reqs, slots {SLOTS}, {NEW} new)",
+        "value": round(paged_cps, 1),
+        "unit": "clips/s",
+        "dense_clips_per_s": round(dense_cps, 1),
+        "paged_over_dense": round(paged_cps / dense_cps, 3),
+        "decode_steps": stats["decode_steps"],
+        "slot_occupancy": round(occupancy, 3),
+        "ms_per_engine_step": round(paged_dt * 1e3 / max(stats["decode_steps"], 1), 2),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
