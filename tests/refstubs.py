@@ -73,7 +73,11 @@ class _AnyModule(types.ModuleType):
         return obj
 
 
+_INSTALLED: list = []
+
+
 def _stub(name, **attrs):
+    _INSTALLED.append(name)
     mod = _AnyModule(name)
     mod.__path__ = []
     mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
@@ -131,7 +135,13 @@ def install() -> None:
 def remove_path() -> None:
     """Drop the reference root from sys.path (its modules stay cached in
     sys.modules, which is all the already-built oracle model needs) so the
-    reference's top-level `config`/`toolkit` packages cannot shadow
-    later imports in the same pytest process."""
+    reference's top-level `config`/`toolkit` packages cannot shadow later
+    imports, and UNINSTALL the stub modules — our own code probes some of
+    the same names (e.g. media.py's decord ladder) and must see the real
+    ImportError, not an inert stub."""
     if REFERENCE_ROOT in sys.path:
         sys.path.remove(REFERENCE_ROOT)
+    for name in _INSTALLED:
+        if isinstance(sys.modules.get(name), _AnyModule):
+            del sys.modules[name]
+    _INSTALLED.clear()
