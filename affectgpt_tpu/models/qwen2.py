@@ -343,10 +343,18 @@ def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
         x2d = x.reshape(-1, orig_shape[-1])
         if (
             jax.default_backend() == "tpu"
-            and quant.PALLAS_INT4_MIN_M <= x2d.shape[0] <= quant.PALLAS_DEQUANT_MAX_M
+            and x2d.shape[0] <= quant.PALLAS_DEQUANT_MAX_M
             and quant.int4_shapes_ok(x2d, base["w_q4"])
         ):
-            y = quant.int4_matmul(x2d, base["w_q4"], base["scales"]).astype(jnp.float32)
+            # decode-shaped M below the floor takes the small-M kernel
+            # (tile dequant into VMEM + one fat dot — Mosaic's subgroup-
+            # unrolled dots are pathological at M≤8)
+            kern = (
+                quant.int4_matmul_smallm
+                if x2d.shape[0] < quant.PALLAS_INT4_MIN_M
+                else quant.int4_matmul
+            )
+            y = kern(x2d, base["w_q4"], base["scales"]).astype(jnp.float32)
         else:
             y = quant.int4_matmul_xla(x2d, base["w_q4"], base["scales"]).astype(jnp.float32)
         y = y.reshape(*orig_shape[:-1], base["w_q4"].shape[1])

@@ -341,6 +341,94 @@ def int4_matmul(
     )(x, x, w_p, scales3, scales3)
 
 
+def _kernel_w4_smallm(
+    x_lo_ref, x_hi_ref, wp_ref, s_lo_ref, s_hi_ref, o_ref, acc_ref,
+    *, group: int,
+):
+    """Small-M (decode) int4 tile: dequantize the packed tile into a bf16
+    VMEM scratch FIRST (pure VPU work — unpack + per-group scale), then
+    ONE MXU dot per nibble half. Mosaic's handling of the subgroup-unrolled
+    dot sequence in _kernel_w4 is pathological at M≤8 (measured ~37× over
+    the streaming bound at batch 1); a single fat dot per half sidesteps
+    it while the dequantized weights still never touch HBM."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    wp = wp_ref[:].astype(jnp.int32)
+    lo, hi = _unpack_int4(wp)
+    bk, bn = wp.shape
+    sg = bk // group
+    for half, x_ref, s_ref in ((lo, x_lo_ref, s_lo_ref), (hi, x_hi_ref, s_hi_ref)):
+        w_g = half.reshape(sg, group, bn).astype(jnp.float32)
+        w_g = w_g * s_ref[0][:, None, :].astype(jnp.float32)
+        w_bf = w_g.reshape(bk, bn).astype(jnp.bfloat16)
+        acc_ref[:] += jnp.dot(
+            x_ref[:].astype(jnp.bfloat16), w_bf,
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(k_idx == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("group", "block_n", "interpret"))
+def int4_matmul_smallm(
+    x: jnp.ndarray,
+    w_p: jnp.ndarray,
+    scales: jnp.ndarray,
+    group: int = INT4_GROUP,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode-shaped int4 matmul (M ≤ 8 after padding): same contract as
+    int4_matmul, different inner loop (see _kernel_w4_smallm)."""
+    m, k = x.shape
+    k_half, n = w_p.shape
+    assert k == 2 * k_half, (k, k_half)
+    groups = k // group
+    assert scales.shape == (groups, n), (scales.shape, groups, n)
+    if m < 8:
+        x_pad = jnp.pad(x, ((0, 8 - m), (0, 0)))
+        return int4_matmul_smallm(
+            x_pad, w_p, scales, group=group, block_n=block_n, interpret=interpret
+        )[:m]
+    block_n = min(block_n, n)
+    block_k = _w4_block_k(k_half, group)
+    assert n % block_n == 0 and block_k > 0, (m, n, k)
+
+    nk = k_half // block_k
+    sg = block_k // group
+    scales3 = scales.reshape(2 * nk, sg, n)
+    grid = (1, n // block_n, nk)
+    return pl.pallas_call(
+        partial(_kernel_w4_smallm, group=group),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, block_k), lambda i, j, l: (0, l)),
+            pl.BlockSpec((m, block_k), lambda i, j, l: (0, l + nk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, l: (l, j)),
+            pl.BlockSpec((1, sg, block_n), lambda i, j, l: (l, 0, j)),
+            pl.BlockSpec((1, sg, block_n), lambda i, j, l: (l + nk, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((m, block_n), lambda i, j, l: (0, j)),
+        scratch_shapes=[pltpu.VMEM((m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * 2 + k_half * n + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, w_p, scales3, scales3)
+
+
 def int4_matmul_xla(
     x: jnp.ndarray, w_p: jnp.ndarray, scales: jnp.ndarray, group: int = INT4_GROUP
 ) -> jnp.ndarray:

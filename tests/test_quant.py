@@ -244,3 +244,21 @@ class TestW8A8:
         )
         rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-6)
         assert rel < 0.05, rel
+
+
+class TestInt4SmallM:
+    def test_smallm_kernel_matches_xla(self):
+        """Decode-shaped int4 path (tile dequant + one fat dot) is
+        numerically the XLA dequant reference; used at M below
+        PALLAS_INT4_MIN_M where the subgroup-unrolled kernel is
+        pathological on Mosaic (batch-1 latency)."""
+        from affectgpt_tpu.ops import quant
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.normal(size=(512, 256)) * 0.05, jnp.float32)
+        wp, sc = quant.quantize_int4_grouped(w)
+        for m in (1, 3, 8):
+            x = jnp.asarray(rng.normal(size=(m, 512)), jnp.float32)
+            ref = np.asarray(quant.int4_matmul_xla(x, wp, sc))
+            got = np.asarray(quant.int4_matmul_smallm(x, wp, sc, interpret=True))
+            np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
