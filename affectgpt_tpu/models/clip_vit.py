@@ -102,12 +102,22 @@ def _init_block(rng, width: int, num_heads: int, mlp_dim: int, dtype):
 
 
 def _apply_block(block, x, num_heads: int, eps: float, mask=None, valid_len=None):
-    h = nn.layernorm(block["ln1"], x, eps)
-    if valid_len is not None and mask is None and _use_fused_attn():
+    if (
+        valid_len is not None and mask is None and ATTN_IMPL == "sublayer"
+        and jax.default_backend() == "tpu" and "w" in block["attn"]["q"]
+    ):
+        # whole attention sublayer (LN+qkv+attn+o+residual) in one kernel,
+        # weights VMEM-resident across the image grid
+        from affectgpt_tpu.ops import vit_sublayer_pallas
+
+        x = vit_sublayer_pallas.apply(block, x, num_heads, valid_len, eps)
+    elif valid_len is not None and mask is None and _use_fused_attn():
+        h = nn.layernorm(block["ln1"], x, eps)
         from affectgpt_tpu.ops import vit_attention_pallas
 
         x = x + vit_attention_pallas.mha_fused(block["attn"], h, num_heads, valid_len)
     else:
+        h = nn.layernorm(block["ln1"], x, eps)
         x = x + nn.mha(block["attn"], h, h, num_heads, mask)
     h = nn.layernorm(block["ln2"], x, eps)
     x = x + nn.dense(block["mlp_out"], quick_gelu(nn.dense(block["mlp_in"], h)))
@@ -176,7 +186,7 @@ def encode_image(params: dict, cfg: ClipVisionConfig, images: jnp.ndarray) -> jn
     x = x + params["pos_embed"]["table"][None, : x.shape[1]].astype(x.dtype)
     x = nn.layernorm(params["pre_ln"], x, cfg.layer_norm_eps)
     valid_len = x.shape[1]
-    if _use_fused_attn() and valid_len % 8:
+    if (_use_fused_attn() or ATTN_IMPL == "sublayer") and valid_len % 8:
         # sublane-pad the token axis once for the whole stack (257 → 264
         # for ViT-L); padded keys are masked in-kernel, padded query rows
         # are dead weight the CLS pooling never reads

@@ -71,3 +71,32 @@ def test_encode_image_flash_equals_xla():
         clip_vit.ATTN_IMPL = saved
         vit_attention_pallas.fused_vit_attention = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_attn_sublayer_kernel_matches_unfused():
+    """The VMEM-resident attention-sublayer kernel (LN+qkv+attn+o+residual)
+    matches LN → nn.mha → residual with pad-key masking."""
+    from affectgpt_tpu.models import nn
+    from affectgpt_tpu.ops import vit_sublayer_pallas as vsp
+
+    rng = np.random.default_rng(3)
+    b, n, w, heads = 2, 16, 64, 4
+    block = {
+        "ln1": nn.layernorm_init(w),
+        "attn": nn.mha_init(jax.random.PRNGKey(0), w, w, heads),
+    }
+    block["ln1"]["scale"] = jnp.asarray(rng.normal(1, 0.1, w), jnp.float32)
+    block["ln1"]["bias"] = jnp.asarray(rng.normal(0, 0.1, w), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(b, n, w)), jnp.float32)
+    valid = 13
+    h = nn.layernorm(block["ln1"], x, 1e-5)
+    mask = jnp.arange(n)[None, None, None, :] < valid
+    ref = x + nn.mha(block["attn"], h, h, heads, mask)
+    a = block["attn"]
+    got = vsp.attn_sublayer(
+        x, block["ln1"]["scale"], block["ln1"]["bias"],
+        a["q"]["w"], a["q"]["b"], a["k"]["w"], a["k"]["b"],
+        a["v"]["w"], a["v"]["b"], a["o"]["w"], a["o"]["b"],
+        num_heads=heads, valid_len=valid, eps=1e-5, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
