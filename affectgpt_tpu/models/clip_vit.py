@@ -25,17 +25,23 @@ import jax.numpy as jnp
 
 from affectgpt_tpu.models import nn
 
-# Attention implementation for the vision tower: "auto" = fused Pallas
-# kernel on TPU (no HBM score tensor — the realtime-path win), XLA
-# elsewhere; "xla" forces the reference-shaped full-softmax path.
+# Attention implementation for the vision tower: "auto" = the fused
+# VMEM-resident sublayer megakernel on TPU (measured fastest: 743.7 img/s
+# at 61.2% MFU vs 583 flash / 468 XLA on 1024-image CLIP-L batches, and
+# +16.7% e2e realtime clips/s), XLA elsewhere; "flash" = the
+# score-tensor-only fused attention; "xla" = the reference-shaped
+# full-softmax path.
 ATTN_IMPL = os.environ.get("CLIP_ATTN", "auto")
 
 
+def _effective_attn_impl() -> str:
+    if ATTN_IMPL == "auto":
+        return "sublayer" if jax.default_backend() == "tpu" else "xla"
+    return ATTN_IMPL
+
+
 def _use_fused_attn() -> bool:
-    impl = ATTN_IMPL
-    if impl == "auto":
-        return jax.default_backend() == "tpu"
-    return impl == "flash"
+    return _effective_attn_impl() in ("flash", "sublayer")
 
 
 @dataclass(frozen=True)
@@ -102,22 +108,31 @@ def _init_block(rng, width: int, num_heads: int, mlp_dim: int, dtype):
 
 
 def _apply_block(block, x, num_heads: int, eps: float, mask=None, valid_len=None):
-    if (
-        valid_len is not None and mask is None and ATTN_IMPL == "sublayer"
-        and jax.default_backend() == "tpu" and "w" in block["attn"]["q"]
+    impl = _effective_attn_impl()
+    fusable = valid_len is not None and mask is None
+    if impl == "sublayer" and not (
+        fusable and jax.default_backend() == "tpu" and "w" in block["attn"]["q"]
     ):
+        # sublayer kernel needs bf16 weights + unmasked padded layout;
+        # quantized (w8a8) or masked blocks take the next-best path
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "sublayer":
         # whole attention sublayer (LN+qkv+attn+o+residual) in one kernel,
         # weights VMEM-resident across the image grid
         from affectgpt_tpu.ops import vit_sublayer_pallas
 
         x = vit_sublayer_pallas.apply(block, x, num_heads, valid_len, eps)
-    elif valid_len is not None and mask is None and _use_fused_attn():
+    elif fusable and impl == "flash":
         h = nn.layernorm(block["ln1"], x, eps)
         from affectgpt_tpu.ops import vit_attention_pallas
 
         x = x + vit_attention_pallas.mha_fused(block["attn"], h, num_heads, valid_len)
     else:
         h = nn.layernorm(block["ln1"], x, eps)
+        if mask is None and valid_len is not None and x.shape[1] > valid_len:
+            # sublane-padded input falling back to XLA (demoted kernel
+            # path): keep padded keys out of the softmax
+            mask = (jnp.arange(x.shape[1]) < valid_len)[None, None, None, :]
         x = x + nn.mha(block["attn"], h, h, num_heads, mask)
     h = nn.layernorm(block["ln2"], x, eps)
     x = x + nn.dense(block["mlp_out"], quick_gelu(nn.dense(block["mlp_in"], h)))
@@ -186,7 +201,7 @@ def encode_image(params: dict, cfg: ClipVisionConfig, images: jnp.ndarray) -> jn
     x = x + params["pos_embed"]["table"][None, : x.shape[1]].astype(x.dtype)
     x = nn.layernorm(params["pre_ln"], x, cfg.layer_norm_eps)
     valid_len = x.shape[1]
-    if (_use_fused_attn() or ATTN_IMPL == "sublayer") and valid_len % 8:
+    if _use_fused_attn() and valid_len % 8:
         # sublane-pad the token axis once for the whole stack (257 → 264
         # for ViT-L); padded keys are masked in-kernel, padded query rows
         # are dead weight the CLS pooling never reads

@@ -57,7 +57,7 @@ def _kernel(
 
     sm_scale = 1.0 / float(d) ** 0.5
     kv_idx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    attn = jnp.zeros((n, w), dtype=jnp.float32)
+    ohs = []
     for head in range(num_heads):
         sl = slice(head * d, (head + 1) * d)
         qh, kh, vh = q[:, sl], k[:, sl], v[:, sl]
@@ -68,8 +68,8 @@ def _kernel(
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        oh = jnp.dot(p.astype(x.dtype), vh, preferred_element_type=jnp.float32)
-        attn = attn.at[:, sl].set(oh)
+        ohs.append(jnp.dot(p.astype(x.dtype), vh, preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(ohs, axis=1)  # [n, w]
 
     y = jnp.dot(attn.astype(x.dtype), wo_ref[...], preferred_element_type=jnp.float32)
     y = y + bo_ref[0].astype(jnp.float32) + x32
