@@ -21,6 +21,7 @@ output_hidden_states=True).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -28,6 +29,14 @@ import jax
 import jax.numpy as jnp
 
 from affectgpt_tpu.models import nn
+
+# Transformer-attention implementation: "sublayer" = the VMEM-resident
+# fused attention-sublayer Pallas kernel (shared with CLIP,
+# ops/vit_sublayer_pallas — HuBERT-large has the identical pre-LN
+# width-1024/16-head geometry); "xla" = unfused. "auto" currently means
+# XLA: at HuBERT's ~99-token sequences the score-only flash kernel
+# measured −8% (CLAUDE.md), so the fused default waits on a TPU A/B.
+ATTN_IMPL = os.environ.get("HUBERT_ATTN", "auto")
 
 
 @dataclass(frozen=True)
@@ -104,6 +113,15 @@ def init_params(rng: jax.Array, cfg: HubertConfig, dtype=jnp.bfloat16) -> dict:
     }
 
 
+def _use_sublayer(cfg: HubertConfig, params: dict) -> bool:
+    return (
+        ATTN_IMPL == "sublayer"
+        and jax.default_backend() == "tpu"
+        and "w" in params["layers"][0]["attn"]["q"]
+        and (cfg.hidden_size // cfg.num_heads) % 64 == 0
+    )
+
+
 def _conv_frontend(params: dict, cfg: HubertConfig, waveform: jnp.ndarray) -> jnp.ndarray:
     """[b, samples] → [b, frames, conv_dim[-1]]."""
     x = waveform[:, None, :].astype(params["convs"][0]["w"].dtype)  # [b, 1, s]
@@ -157,11 +175,25 @@ def encode(
 
     # pre-LN stack (do_stable_layer_norm=True); accumulate last-k mean online
     k = cfg.mean_last_k_layers
+    t_valid = x.shape[1]
+    use_sublayer = _use_sublayer(cfg, params)
+    if use_sublayer and t_valid % 8:
+        # sublane-pad the token axis once for the whole stack; padded keys
+        # are masked in-kernel and the pooling below slices them off
+        x = jnp.pad(x, ((0, 0), (0, -t_valid % 8), (0, 0)))
     acc = jnp.zeros_like(x, dtype=jnp.float32)
     n_layers = cfg.num_layers
     for i, layer in enumerate(params["layers"]):
-        h = nn.layernorm(layer["attn_ln"], x, cfg.layer_norm_eps)
-        x = x + nn.mha(layer["attn"], h, h, cfg.num_heads)
+        if use_sublayer:
+            from affectgpt_tpu.ops import vit_sublayer_pallas
+
+            x = vit_sublayer_pallas.apply(
+                {"ln1": layer["attn_ln"], "attn": layer["attn"]},
+                x, cfg.num_heads, t_valid, cfg.layer_norm_eps,
+            )
+        else:
+            h = nn.layernorm(layer["attn_ln"], x, cfg.layer_norm_eps)
+            x = x + nn.mha(layer["attn"], h, h, cfg.num_heads)
         h = nn.layernorm(layer["ffn_ln"], x, cfg.layer_norm_eps)
         x = x + nn.dense(layer["ffn_out"], nn.gelu(nn.dense(layer["ffn_in"], h)))
         # hidden_states[i+1] in HF terms; final LN applies to the last one
@@ -169,7 +201,7 @@ def encode(
         if i >= n_layers - k:
             acc = acc + out_state.astype(jnp.float32)
 
-    feature = acc / k  # [b, t, hidden]
+    feature = (acc / k)[:, :t_valid]  # [b, t, hidden]
     return jnp.mean(feature, axis=1).astype(x.dtype)
 
 

@@ -100,3 +100,30 @@ def test_attn_sublayer_kernel_matches_unfused():
         num_heads=heads, valid_len=valid, eps=1e-5, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_hubert_encode_sublayer_equals_xla(monkeypatch):
+    """hubert.encode with the shared attention-sublayer kernel (interpret,
+    gate stubbed open) matches the unfused XLA stack, including the
+    pad-then-slice pooling over a non-multiple-of-8 token count."""
+    from affectgpt_tpu.models import hubert
+    from affectgpt_tpu.ops import vit_sublayer_pallas as vsp
+
+    cfg = hubert.HubertConfig.tiny()
+    params = hubert.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    wav = jnp.asarray(rng.normal(size=(2, 400)), jnp.float32)
+
+    ref = hubert.encode(params, cfg, wav)
+
+    orig = vsp.attn_sublayer
+
+    def interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(vsp, "attn_sublayer", interp)
+    monkeypatch.setattr(hubert, "_use_sublayer", lambda cfg, p: True)
+    out = hubert.encode(params, cfg, wav)
+    # tiny frontend: 400 samples -> 39 conv frames -> padded to 40 in-kernel
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
