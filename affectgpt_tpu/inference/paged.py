@@ -187,6 +187,11 @@ def paged_attention(
     return out.reshape(b, heads, d)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("llm_cfg", "pcfg", "use_pallas"),
+    donate_argnames=("pools",),
+)
 def paged_decode_step(
     frozen_llm: dict,
     llm_cfg: qwen2.QwenConfig,
@@ -199,7 +204,11 @@ def paged_decode_step(
     use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, list]:
     """One decode step over the paged cache for all sequences.
-    Returns (logits [b, vocab], updated pools)."""
+    Returns (logits [b, vocab], updated pools).
+
+    Compiled as ONE program: eagerly, the ~500 per-layer op dispatches
+    each pay a host→device round trip — through the axon relay that was
+    measured at 2.7 s/step (150× slower than the compiled step)."""
     scaling = llm_cfg.lora_alpha / llm_cfg.lora_r
     compute_dtype = pools[0]["k"].dtype
     if compute_dtype == jnp.int8:  # quantized pool: activations stay at weight dtype
@@ -302,7 +311,11 @@ class PagedBatchServer:
         self.slots = [None] * max_slots  # per-slot dict or None
         self.pending: List = []
         self.results = {}
-        self._build_embeds = _affectgpt.build_inputs_embeds
+        # compiled per (bucket-batch, bucket-len, signature) — eager
+        # admission embedding pays hundreds of relay round trips
+        self._build_embeds = jax.jit(
+            _affectgpt.build_inputs_embeds, static_argnames=("cfg",)
+        )
         self.rng = jax.random.PRNGKey(seed)
         self.do_sample, self.top_p, self.temperature = do_sample, top_p, temperature
         # prompts padded to a bucket multiple → the prefill program is
@@ -486,6 +499,9 @@ class PagedBatchServer:
         return self.results
 
 
+@partial(
+    jax.jit, static_argnames=("llm_cfg", "pcfg"), donate_argnames=("pools",)
+)
 def prefill_batch_into_pages(
     frozen_llm: dict,
     llm_cfg: qwen2.QwenConfig,

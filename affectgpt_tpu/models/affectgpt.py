@@ -263,8 +263,19 @@ def forward_loss(
     embeds = build_inputs_embeds(
         frozen, trainable, cfg, batch["input_ids"], batch["features"], batch["offsets"]
     )
+    llm = frozen["llm"]
+    if cfg.llm.tie_embeddings or "w" in llm["lm_head"]:
+        # fused lm_head+CE: stream vocab chunks, never materialize the
+        # [b, t, vocab] fp32 logits (the train-step OOM at batch ≥ 16)
+        hidden, _ = qwen2.forward(
+            llm, cfg.llm, embeds, batch["attention_mask"],
+            lora=trainable["lora"], remat=remat, return_hidden=True,
+        )
+        return qwen2.fused_cross_entropy_loss(
+            hidden, llm, cfg.llm, batch["labels"]
+        )
     logits, _ = qwen2.forward(
-        frozen["llm"], cfg.llm, embeds, batch["attention_mask"],
+        llm, cfg.llm, embeds, batch["attention_mask"],
         lora=trainable["lora"], remat=remat,
     )
     return qwen2.cross_entropy_loss(logits, batch["labels"])

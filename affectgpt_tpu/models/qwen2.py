@@ -594,6 +594,7 @@ def forward(
     cache_index: Optional[jnp.ndarray] = None,
     remat: bool = False,
     last_token_only: bool = False,
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[list]]:
     """Run the decoder stack.
 
@@ -603,6 +604,8 @@ def forward(
     last_token_only: project only the final position through the lm_head
     (prefill — only the next-token logits are consumed; skips a [b·t, vocab]
     matmul and the fp32 logits HBM traffic).
+    return_hidden: skip the lm_head and return the final-LN hidden states
+    [b, t, d] instead of logits (the fused_cross_entropy_loss training path).
     Returns (logits [b, t, vocab] or [b, 1, vocab], new_cache or None).
     """
     b, t, _ = inputs_embeds.shape
@@ -677,6 +680,8 @@ def forward(
     x = nn.rmsnorm(params["final_ln"], x, cfg.rms_eps)
     if last_token_only:
         x = x[:, -1:, :]
+    if return_hidden:
+        return x, new_cache
     if cfg.tie_embeddings:
         logits = jnp.dot(
             x, params["embed_tokens"]["table"].T, preferred_element_type=jnp.float32
@@ -731,4 +736,77 @@ def cross_entropy_loss(
     logprobs = jax.nn.log_softmax(shift_logits, axis=-1)
     token_ll = jnp.take_along_axis(logprobs, safe_labels[..., None], axis=-1)[..., 0]
     loss_sum = -jnp.sum(jnp.where(valid, token_ll, 0.0))
+    return loss_sum / jnp.maximum(jnp.sum(valid), 1)
+
+
+def fused_cross_entropy_loss(
+    hidden: jnp.ndarray,
+    params: dict,
+    cfg: QwenConfig,
+    labels: jnp.ndarray,
+    ignore_index: int = -100,
+    chunk: int = 16384,
+) -> jnp.ndarray:
+    """Shifted causal-LM loss computed by streaming the lm_head over vocab
+    CHUNKS with an online logsumexp — the full [b, t, vocab] fp32 logits
+    tensor never materializes (it is the train-step OOM at batch ≥ 16:
+    b16·t256·v151936·4B ≈ 2.4 GB live through the backward).
+
+    hidden [b, t, d] = forward(..., return_hidden=True); numerically
+    identical to cross_entropy_loss(lm_head(hidden), labels) up to fp32
+    reduction order. Each chunk is rematerialized in the backward
+    (jax.checkpoint), so the live set is one [N, chunk] block + the
+    [N, d] gradient accumulator. Reference semantics: HF labels= CE,
+    my_affectgpt/models/affectgpt.py:924-1028 {"loss"}.
+    """
+    b, t, d = hidden.shape
+    xs = hidden[:, :-1, :].reshape(-1, d)
+    lab = labels[:, 1:].reshape(-1)
+    n = xs.shape[0]
+    valid = lab != ignore_index
+    safe = jnp.where(valid, lab, 0)
+
+    if cfg.tie_embeddings:
+        table = params["embed_tokens"]["table"]  # [V, d]
+        vocab = table.shape[0]
+        get_chunk = lambda off, width: jax.lax.slice(  # noqa: E731
+            table, (off, 0), (off + width, d)
+        ).T  # [d, width]
+    else:
+        w = params["lm_head"]["w"]  # [d, V]
+        vocab = w.shape[1]
+        get_chunk = lambda off, width: jax.lax.slice(  # noqa: E731
+            w, (0, off), (d, off + width)
+        )
+
+    def make_chunk_stats(off: int, width: int):
+        # off/width stay Python-static (lax.slice needs static bounds);
+        # checkpoint reruns the chunk matmul in the backward instead of
+        # keeping [N, width] fp32 residuals live per chunk
+        @jax.checkpoint
+        def chunk_stats(m, s, tgt):
+            logits = jnp.dot(
+                xs, get_chunk(off, width), preferred_element_type=jnp.float32
+            )
+            m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+            s = s * jnp.exp(m - m_new) + jnp.sum(
+                jnp.exp(logits - m_new[:, None]), axis=-1
+            )
+            in_chunk = (safe >= off) & (safe < off + width)
+            picked = jnp.take_along_axis(
+                logits, jnp.clip(safe - off, 0, width - 1)[:, None], axis=-1
+            )[:, 0]
+            tgt = tgt + jnp.where(in_chunk, picked, 0.0)
+            return m_new, s, tgt
+
+        return chunk_stats
+
+    m = jnp.full((n,), -jnp.inf, jnp.float32)
+    s = jnp.zeros((n,), jnp.float32)
+    tgt = jnp.zeros((n,), jnp.float32)
+    for off in range(0, vocab, chunk):
+        m, s, tgt = make_chunk_stats(off, min(chunk, vocab - off))(m, s, tgt)
+
+    token_nll = jnp.log(s) + m - tgt
+    loss_sum = jnp.sum(jnp.where(valid, token_nll, 0.0))
     return loss_sum / jnp.maximum(jnp.sum(valid), 1)

@@ -208,6 +208,50 @@ class TestQwen:
         loss0 = qwen2.cross_entropy_loss(logits, jnp.full((2, 5), -100))
         assert float(loss0) == 0.0
 
+    def test_fused_cross_entropy_matches_materialized(self):
+        """Chunked lm_head+CE (online logsumexp over vocab chunks) matches
+        the materialized-logits loss in value AND gradient, for both the
+        lm_head and tied-embedding branches."""
+        import dataclasses
+
+        cfg = qwen2.QwenConfig.tiny()
+        params = qwen2.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        lora = qwen2.init_lora(jax.random.PRNGKey(1), cfg)
+        rng = np.random.default_rng(0)
+        b, t = 2, 12
+        embeds = jnp.asarray(rng.normal(size=(b, t, cfg.hidden_size)), jnp.float32)
+        mask = jnp.ones((b, t), jnp.int32)
+        labels = jnp.asarray(rng.integers(0, cfg.vocab_size, size=(b, t)))
+        labels = labels.at[:, :3].set(-100)
+
+        def loss_ref(e):
+            logits, _ = qwen2.forward(params, cfg, e, mask, lora=lora)
+            return qwen2.cross_entropy_loss(logits, labels)
+
+        def loss_fused(e):
+            hidden, _ = qwen2.forward(
+                params, cfg, e, mask, lora=lora, return_hidden=True
+            )
+            # chunk < vocab forces the multi-chunk online-logsumexp path
+            return qwen2.fused_cross_entropy_loss(
+                hidden, params, cfg, labels, chunk=64
+            )
+
+        l1, g1 = jax.value_and_grad(loss_ref)(embeds)
+        l2, g2 = jax.value_and_grad(loss_fused)(embeds)
+        np.testing.assert_allclose(float(l1), float(l2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+        cfg2 = dataclasses.replace(cfg, tie_embeddings=True)
+        p2 = qwen2.init_params(jax.random.PRNGKey(2), cfg2, dtype=jnp.float32)
+        logits, _ = qwen2.forward(p2, cfg2, embeds, mask)
+        hidden, _ = qwen2.forward(p2, cfg2, embeds, mask, return_hidden=True)
+        np.testing.assert_allclose(
+            float(qwen2.cross_entropy_loss(logits, labels)),
+            float(qwen2.fused_cross_entropy_loss(hidden, p2, cfg2, labels, chunk=100)),
+            atol=1e-5,
+        )
+
 
 class TestSplice:
     def test_find_patch_run(self):
