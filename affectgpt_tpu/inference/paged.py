@@ -187,12 +187,7 @@ def paged_attention(
     return out.reshape(b, heads, d)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("llm_cfg", "pcfg", "use_pallas"),
-    donate_argnames=("pools",),
-)
-def paged_decode_step(
+def _decode_core(
     frozen_llm: dict,
     llm_cfg: qwen2.QwenConfig,
     pools: list,
@@ -203,12 +198,9 @@ def paged_decode_step(
     lora: Optional[dict] = None,
     use_pallas: bool = True,
 ) -> Tuple[jnp.ndarray, list]:
-    """One decode step over the paged cache for all sequences.
-    Returns (logits [b, vocab], updated pools).
-
-    Compiled as ONE program: eagerly, the ~500 per-layer op dispatches
-    each pay a host→device round trip — through the axon relay that was
-    measured at 2.7 s/step (150× slower than the compiled step)."""
+    """One decode step over the paged cache for all sequences (traceable
+    body shared by the compiled single step and the multi-step burst).
+    Returns (logits [b, vocab], updated pools)."""
     scaling = llm_cfg.lora_alpha / llm_cfg.lora_r
     compute_dtype = pools[0]["k"].dtype
     if compute_dtype == jnp.int8:  # quantized pool: activations stay at weight dtype
@@ -270,6 +262,90 @@ def paged_decode_step(
     return logits[:, 0], new_pools
 
 
+@partial(
+    jax.jit,
+    static_argnames=("llm_cfg", "pcfg", "use_pallas"),
+    donate_argnames=("pools",),
+)
+def paged_decode_step(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    pools: list,
+    tokens: jnp.ndarray,  # [b]
+    positions: jnp.ndarray,  # [b] index of the token being decoded
+    block_tables: jnp.ndarray,  # [b, max_blocks]
+    pcfg: PagedConfig,
+    lora: Optional[dict] = None,
+    use_pallas: bool = True,
+) -> Tuple[jnp.ndarray, list]:
+    """One decode step over the paged cache for all sequences.
+    Returns (logits [b, vocab], updated pools).
+
+    Compiled as ONE program: eagerly, the ~500 per-layer op dispatches
+    each pay a host→device round trip — through the axon relay that was
+    measured at 2.7 s/step (150× slower than the compiled step)."""
+    return _decode_core(
+        frozen_llm, llm_cfg, pools, tokens, positions, block_tables, pcfg,
+        lora=lora, use_pallas=use_pallas,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("llm_cfg", "pcfg", "use_pallas", "n_steps", "do_sample",
+                     "top_p", "temperature"),
+    donate_argnames=("pools",),
+)
+def paged_decode_burst(
+    frozen_llm: dict,
+    llm_cfg: qwen2.QwenConfig,
+    pools: list,
+    tokens: jnp.ndarray,  # [b] last sampled token per slot
+    positions: jnp.ndarray,  # [b] position of the token being decoded
+    block_tables: jnp.ndarray,  # [b, max_blocks]
+    pcfg: PagedConfig,
+    rng: jax.Array,
+    n_steps: int,
+    lora: Optional[dict] = None,
+    use_pallas: bool = True,
+    do_sample: bool = False,
+    top_p: float = 0.9,
+    temperature: float = 1.0,
+) -> Tuple[jnp.ndarray, list]:
+    """n_steps decode iterations as ONE compiled program, sampling in-graph.
+
+    The per-token host cost of the engine loop (token upload, step
+    dispatch, eager argmax over [b, vocab], token fetch — each a relay
+    round trip, ~98 ms/step measured) is paid once per burst instead of
+    once per token: the lax.scan feeds each sampled token straight into
+    the next step on device and the host fetches one [b, n_steps] int32
+    array. vLLM's multi-step scheduling is the same trade
+    (reference serves via vLLM, evaluation.py:120-122); the cost is that
+    EOS/finish bookkeeping happens only at burst boundaries.
+
+    Callers must pre-extend every live block table to cover
+    positions + n_steps tokens. Returns (tokens [b, n_steps], pools)."""
+
+    def body(carry, key):
+        tokens, positions, pools = carry
+        logits, pools = _decode_core(
+            frozen_llm, llm_cfg, pools, tokens, positions, block_tables,
+            pcfg, lora=lora, use_pallas=use_pallas,
+        )
+        if do_sample:
+            from affectgpt_tpu.inference import generate as _gen
+
+            nxt = _gen.top_p_sample(key, logits, top_p, temperature)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        return (nxt, positions + 1, pools), nxt
+
+    keys = jax.random.split(rng, n_steps)
+    (_, _, pools), toks = jax.lax.scan(body, (tokens, positions, pools), keys)
+    return toks.T, pools  # [b, n_steps]
+
+
 class PagedBatchServer:
     """Continuous batching over the paged cache: HBM is bounded by tokens
     in flight (block pool), not slots × max_len. Same request/result
@@ -279,7 +355,7 @@ class PagedBatchServer:
     def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
                  max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
-                 prefill_bucket: int = 64, mesh=None):
+                 prefill_bucket: int = 64, mesh=None, decode_burst: int = 8):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
         if mesh is not None:
@@ -321,10 +397,14 @@ class PagedBatchServer:
         # prompts padded to a bucket multiple → the prefill program is
         # shared across prompt lengths instead of recompiling per length
         self.prefill_bucket = min(prefill_bucket, self.pcfg.max_seq_len)
+        # decode-burst length: tokens decoded per compiled device program
+        # (power-of-two-bucketed at run time so the compile count stays
+        # O(log burst)). 1 restores per-token host stepping.
+        self.decode_burst = max(1, decode_burst)
         # engine counters (continuous-batching observability)
         self.stats = {
             "admissions": 0, "admitted_requests": 0,
-            "decode_steps": 0, "decode_slot_tokens": 0,
+            "decode_steps": 0, "decode_slot_tokens": 0, "decode_bursts": 0,
         }
 
     def _sample(self, logits: jnp.ndarray) -> jnp.ndarray:
@@ -452,13 +532,28 @@ class PagedBatchServer:
         live = [(i, s) for i, s in enumerate(self.slots) if s is not None]
         if not live:
             return bool(self.pending)
+        # burst length: bounded by the tightest slot's remaining budget and
+        # table capacity, then power-of-two-bucketed so the number of
+        # compiled burst programs stays O(log decode_burst). Slots that hit
+        # EOS mid-burst waste their tail decodes (vLLM multi-step trade) —
+        # through the axon relay the per-step host round trips cost far
+        # more (98 → ~12 ms/token measured at burst 8, slots 64).
+        k = min(
+            self.decode_burst,
+            min(s["remaining"] for _, s in live),
+            max(1, self.pcfg.max_seq_len - 1 - max(s["pos"] for _, s in live)),
+        )
+        k = max(1, k)
+        while k & (k - 1):  # round down to a power of two
+            k &= k - 1
         for _, s in live:
             before = len(s["table"])
             # growth comes out of this slot's admission-time reservation
-            need = -(-(s["pos"] + 1) // self.pcfg.block_size) - before
+            target = min(s["pos"] + k, self.pcfg.max_seq_len)
+            need = -(-target // self.pcfg.block_size) - before
             if need > 0:
                 self.alloc.release(min(need, s["reserved"]))
-            self.alloc.extend(s["table"], s["pos"], s["pos"] + 1)
+            self.alloc.extend(s["table"], s["pos"], target)
             s["reserved"] -= len(s["table"]) - before
             s["padded"][: len(s["table"])] = s["table"]
         # pad the live set to max_slots so the decode step compiles ONCE
@@ -474,22 +569,28 @@ class PagedBatchServer:
             [s["padded"] for _, s in live]
             + [np.zeros(self.pcfg.max_blocks_per_seq, np.int32)] * n_pad
         ))
-        logits, self.pools = paged_decode_step(
+        self.rng, key = jax.random.split(self.rng)
+        toks, self.pools = paged_decode_burst(
             self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
-            tables, self.pcfg, lora=self.trainable["lora"],
+            tables, self.pcfg, key, k, lora=self.trainable["lora"],
             use_pallas=self._pool_sharding is None,
+            do_sample=self.do_sample, top_p=self.top_p,
+            temperature=self.temperature,
         )
-        self.stats["decode_steps"] += 1
-        self.stats["decode_slot_tokens"] += len(live)
-        sampled = np.asarray(self._sample(logits), np.int32)
+        toks = np.asarray(toks)  # [b, k] — ONE device→host sync per burst
+        self.stats["decode_steps"] += k
+        self.stats["decode_bursts"] += 1
+        self.stats["decode_slot_tokens"] += len(live) * k
         for row, (i, s) in enumerate(live):
-            token = int(sampled[row])
-            s["tokens"].append(token)
-            s["pos"] += 1
-            s["remaining"] -= 1
-            if (token == self.tokenizer.eos_token_id or s["remaining"] <= 0
-                    or s["pos"] >= self.pcfg.max_seq_len - 1):
-                self._finish(i, s)
+            for j in range(k):
+                token = int(toks[row, j])
+                s["tokens"].append(token)
+                s["pos"] += 1
+                s["remaining"] -= 1
+                if (token == self.tokenizer.eos_token_id or s["remaining"] <= 0
+                        or s["pos"] >= self.pcfg.max_seq_len - 1):
+                    self._finish(i, s)
+                    break
         return True
 
     def run_until_drained(self, max_steps: int = 10_000):

@@ -7,13 +7,14 @@ decodes fixed batches through the compiled generate(); the paged path
 streams the same requests through PagedBatchServer (slots ≪ requests,
 admission as slots free).
 
-Caveat (axon relay): the paged engine's host step loop syncs the sampled
-tokens every decode step — through the relay each sync adds RTT that a
-locally-attached chip would not see; the dense path syncs once per batch.
-The printed per-step anatomy separates the two.
+The engine decodes in multi-step bursts (paged_decode_burst: lax.scan of
+the decode step with in-graph sampling) so the host↔relay round trips —
+token upload, dispatch, argmax, token fetch, 98 ms/token when paid per
+step — amortize over PAGED_BURST tokens.
 
 Run: python scripts/bench_paged.py
-Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32), PAGED_DENSE_BATCH (256).
+Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
+     PAGED_DENSE_BATCH (256), PAGED_BURST (8).
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ REQUESTS = int(os.environ.get("PAGED_REQUESTS", 256))
 SLOTS = int(os.environ.get("PAGED_SLOTS", 64))
 NEW = int(os.environ.get("PAGED_NEW", 32))
 DENSE_BATCH = int(os.environ.get("PAGED_DENSE_BATCH", 256))
+BURST = int(os.environ.get("PAGED_BURST", 8))
 PROMPT_LEN = 128
 
 
@@ -91,6 +93,7 @@ def main():
     server = PagedBatchServer(
         frozen, trainable, cfg, _Tok(), pcfg=pcfg, max_slots=SLOTS,
         dtype=frozen["llm"]["embed_tokens"]["table"].dtype, do_sample=False,
+        decode_burst=BURST,
     )
     feats_np = {m: np.asarray(v) for m, v in feats.items()}
     ids_np = np.asarray(input_ids)
@@ -126,8 +129,10 @@ def main():
         "dense_clips_per_s": round(dense_cps, 1),
         "paged_over_dense": round(paged_cps / dense_cps, 3),
         "decode_steps": stats["decode_steps"],
+        "decode_bursts": stats.get("decode_bursts", 0),
+        "burst": BURST,
         "slot_occupancy": round(occupancy, 3),
-        "ms_per_engine_step": round(paged_dt * 1e3 / max(stats["decode_steps"], 1), 2),
+        "ms_per_token_step": round(paged_dt * 1e3 / max(stats["decode_steps"], 1), 2),
     }), flush=True)
 
 
