@@ -407,11 +407,21 @@ def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
 # TPU-only; every other path ignores it.
 DECODE_ATTENTION = "xla"
 
-# Trace-time switch for the single-token decode MLP: "pallas" fuses
-# rmsnorm → int8 gate/up → silu·mul → int8 down → residual into one kernel
-# (ops/decode_mlp_pallas) — the q=1 decode phase is op-dispatch-bound.
-# Applies only to int8 split-layout weights on TPU at t==1.
-DECODE_MLP = "xla"
+# Trace-time switch for the single-token decode MLP. "auto" (default)
+# fuses rmsnorm → gate/up → silu·mul → down → residual into one kernel on
+# the bf16 split layout (ops/decode_mlp_bf16_pallas; TPU-measured +1.3%
+# e2e at 3B b384 — q=1 decode is op-dispatch-bound). "pallas" additionally
+# forces the int8 sibling (ops/decode_mlp_pallas; measured −1.5% at 7B —
+# the per-tile int8→bf16 convert eats the fusion win, so auto skips it).
+# "xla" disables both.
+DECODE_MLP = "auto"
+
+# Trace-time switch for the single-token decode q/k/v projections: fuses
+# the three projections (+bias) and rotary embedding into one kernel with
+# VMEM-resident weights (ops/decode_qkv_pallas; TPU-measured +1.5% e2e at
+# 3B b384). bf16 split layout, merged LoRA, TPU, t==1 only; "auto"
+# (default) additionally requires the resident q/k/v weights ≤ 12 MB.
+DECODE_QKV = "auto"
 
 
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -433,6 +443,7 @@ def _attention(
 
     n_q_dim = cfg.num_heads * cfg.head_dim
     n_kv_dim = cfg.num_kv_heads * cfg.head_dim
+    roped = False
     if "qkv_proj" in layer:
         # fused serving layout (fuse_qkv_gateup): one matmul, split columns
         assert lora_layer is None, "fused layout serves merged-LoRA weights"
@@ -440,13 +451,53 @@ def _attention(
         q = y[..., :n_q_dim].reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = y[..., n_q_dim : n_q_dim + n_kv_dim].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = y[..., n_q_dim + n_kv_dim :].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+    elif (
+        DECODE_QKV in ("auto", "pallas")
+        and cache is not None
+        and t == 1
+        and lora_layer is None
+        and "w" in layer["q_proj"]
+        and cfg.head_dim % 2 == 0
+        and cfg.hidden_size % 128 == 0
+        and n_q_dim % 128 == 0
+        and n_kv_dim % 128 == 0
+        and jax.default_backend() == "tpu"
+        and b % 8 == 0
+        # auto: only when the VMEM-resident q/k/v weights actually fit
+        and (
+            DECODE_QKV == "pallas"
+            or cfg.hidden_size * (n_q_dim + 2 * n_kv_dim)
+            * jnp.dtype(layer["q_proj"]["w"].dtype).itemsize
+            <= 12 * 2**20
+        )
+    ):
+        # fused decode qkv: 3 projections + biases + rope in one kernel,
+        # weights VMEM-resident across batch tiles (q=1 decode is
+        # op-overhead-bound; see ops/decode_qkv_pallas.py)
+        from affectgpt_tpu.ops.decode_qkv_pallas import decode_qkv
+
+        zq = jnp.zeros((cfg.num_heads * cfg.head_dim,), x.dtype)
+        zkv = jnp.zeros((cfg.num_kv_heads * cfg.head_dim,), x.dtype)
+        q2, k2, v2 = decode_qkv(
+            x[:, 0, :], positions[:, 0],
+            layer["q_proj"]["w"], layer["q_proj"].get("b", zq),
+            layer["k_proj"]["w"], layer["k_proj"].get("b", zkv),
+            layer["v_proj"]["w"], layer["v_proj"].get("b", zkv),
+            num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim, theta=cfg.rope_theta,
+        )
+        q = q2.reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = k2.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = v2.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        roped = True  # kernel applied rope in-VMEM
     else:
         q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling).reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = _lora_dense(layer["k_proj"], lget("k_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = _lora_dense(layer["v_proj"], lget("v_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
 
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    if not roped:
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
 
     # K/V live in [b, kv_heads, T, d] layout: the decode-step QK^T and PV
     # dots then have their batch dims (b, h) leading in the SAME positions
@@ -628,6 +679,27 @@ def forward(
         )
         x = x + attn_out
         if (
+            DECODE_MLP in ("auto", "pallas")
+            and layer_cache is not None
+            and t == 1
+            and lora_layer is None
+            and "w" in layer.get("gate_proj", {})
+            and cfg.intermediate_size % 128 == 0
+            and cfg.hidden_size % 128 == 0
+            and jax.default_backend() == "tpu"
+            and b % 8 == 0
+        ):
+            # fused bf16 decode MLP: norm + gate/up + silu·mul + down +
+            # residual in one kernel (weights stream, activations in VMEM)
+            from affectgpt_tpu.ops.decode_mlp_bf16_pallas import decode_mlp_bf16
+
+            y = decode_mlp_bf16(
+                x[:, 0, :], layer["post_attn_ln"]["scale"],
+                layer["gate_proj"]["w"], layer["up_proj"]["w"],
+                layer["down_proj"]["w"], eps=cfg.rms_eps,
+            )
+            x = y[:, None, :]
+        elif (
             DECODE_MLP == "pallas"
             and layer_cache is not None
             and t == 1

@@ -119,6 +119,10 @@ def main():
         from affectgpt_tpu.models import qwen2 as _q
 
         _q.DECODE_MLP = os.environ["BENCH_DECODE_MLP"]
+    if os.environ.get("BENCH_DECODE_QKV"):
+        from affectgpt_tpu.models import qwen2 as _q
+
+        _q.DECODE_QKV = os.environ["BENCH_DECODE_QKV"]
     if GEOMETRY == "7b":
         from affectgpt_tpu.models import qwen2
 
