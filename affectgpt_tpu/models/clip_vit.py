@@ -33,6 +33,12 @@ from affectgpt_tpu.models import nn
 # full-softmax path.
 ATTN_IMPL = os.environ.get("CLIP_ATTN", "auto")
 
+# MLP implementation for the vision tower: "auto" = the two fused
+# weight-resident Pallas calls (LN+fc1+quick_gelu, fc2+residual —
+# ops/vit_mlp_pallas) whenever the attention sublayer kernel is active;
+# "xla" = op-by-op.
+MLP_IMPL = os.environ.get("CLIP_MLP", "auto")
+
 
 def _effective_attn_impl() -> str:
     if ATTN_IMPL == "auto":
@@ -134,6 +140,12 @@ def _apply_block(block, x, num_heads: int, eps: float, mask=None, valid_len=None
             # path): keep padded keys out of the softmax
             mask = (jnp.arange(x.shape[1]) < valid_len)[None, None, None, :]
         x = x + nn.mha(block["attn"], h, h, num_heads, mask)
+    if impl == "sublayer" and MLP_IMPL == "auto" and "w" in block["mlp_in"]:
+        # same residency conditions as the attention kernel (TPU, bf16
+        # "w" weights, padded layout) — verified by the impl demotion above
+        from affectgpt_tpu.ops import vit_mlp_pallas
+
+        return vit_mlp_pallas.apply(block, x, eps)
     h = nn.layernorm(block["ln2"], x, eps)
     x = x + nn.dense(block["mlp_out"], quick_gelu(nn.dense(block["mlp_in"], h)))
     return x

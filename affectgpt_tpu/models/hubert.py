@@ -38,6 +38,11 @@ from affectgpt_tpu.models import nn
 # measured −8% (CLAUDE.md), so the fused default waits on a TPU A/B.
 ATTN_IMPL = os.environ.get("HUBERT_ATTN", "auto")
 
+# FFN implementation: "pallas" = the two weight-resident fused calls
+# (LN+fc1+gelu, fc2+residual — ops/vit_mlp_pallas.apply_hubert, same
+# 1024→4096 geometry as ViT-L); "xla" = unfused; "auto" pending a TPU A/B.
+MLP_IMPL = os.environ.get("HUBERT_MLP", "auto")
+
 
 @dataclass(frozen=True)
 class HubertConfig:
@@ -177,9 +182,15 @@ def encode(
     k = cfg.mean_last_k_layers
     t_valid = x.shape[1]
     use_sublayer = _use_sublayer(cfg, params)
-    if use_sublayer and t_valid % 8:
+    use_mlp_kernel = (
+        MLP_IMPL == "pallas"
+        and jax.default_backend() == "tpu"
+        and "w" in params["layers"][0]["ffn_in"]
+    )
+    if (use_sublayer or use_mlp_kernel) and t_valid % 8:
         # sublane-pad the token axis once for the whole stack; padded keys
-        # are masked in-kernel and the pooling below slices them off
+        # are masked in-kernel (attention) / row-independent (FFN) and the
+        # pooling below slices them off
         x = jnp.pad(x, ((0, 0), (0, -t_valid % 8), (0, 0)))
     acc = jnp.zeros_like(x, dtype=jnp.float32)
     n_layers = cfg.num_layers
@@ -193,9 +204,20 @@ def encode(
             )
         else:
             h = nn.layernorm(layer["attn_ln"], x, cfg.layer_norm_eps)
-            x = x + nn.mha(layer["attn"], h, h, cfg.num_heads)
-        h = nn.layernorm(layer["ffn_ln"], x, cfg.layer_norm_eps)
-        x = x + nn.dense(layer["ffn_out"], nn.gelu(nn.dense(layer["ffn_in"], h)))
+            if x.shape[1] != t_valid:
+                # padded for the FFN kernel but attention is unfused: keep
+                # the garbage rows out of every query's softmax
+                mask = (jnp.arange(x.shape[1]) < t_valid)[None, None, None, :]
+                x = x + nn.mha(layer["attn"], h, h, cfg.num_heads, mask)
+            else:
+                x = x + nn.mha(layer["attn"], h, h, cfg.num_heads)
+        if use_mlp_kernel:
+            from affectgpt_tpu.ops import vit_mlp_pallas
+
+            x = vit_mlp_pallas.apply_hubert(layer, x, cfg.layer_norm_eps)
+        else:
+            h = nn.layernorm(layer["ffn_ln"], x, cfg.layer_norm_eps)
+            x = x + nn.dense(layer["ffn_out"], nn.gelu(nn.dense(layer["ffn_in"], h)))
         # hidden_states[i+1] in HF terms; final LN applies to the last one
         out_state = x if i < n_layers - 1 else nn.layernorm(params["final_ln"], x, cfg.layer_norm_eps)
         if i >= n_layers - k:
