@@ -5,6 +5,11 @@ per clip side; bench_realtime measured ~24% MFU round-2) and A/Bs
 attention implementations:
   CLIP_ATTN=xla    full-softmax fp32 logits (round-2 default)
   CLIP_ATTN=flash  fused Pallas flash attention (no [b,h,257,257] HBM tensor)
+  CLIP_ATTN=auto   VMEM-resident attention-sublayer megakernel (default)
+and MLP implementations:
+  CLIP_MLP=auto    fused LN+fc1+gelu / fc2+residual pair (default;
+                   measured 822.3 img/s / 67.6% MFU vs 744.0 / 61.2% xla)
+  CLIP_MLP=xla     op-by-op
 
 Run: CLIP_ATTN=flash CLIP_IMAGES=2048 python scripts/bench_clip_encoder.py
 """
