@@ -20,6 +20,8 @@ Host side:
 
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
@@ -401,10 +403,14 @@ class PagedBatchServer:
         # (power-of-two-bucketed at run time so the compile count stays
         # O(log burst)). 1 restores per-token host stepping.
         self.decode_burst = max(1, decode_burst)
-        # engine counters (continuous-batching observability)
+        # engine counters (continuous-batching observability); t_* are
+        # wall-clock seconds per device-fenced phase — t_prefill spans
+        # admission staging → first-token fetch, t_decode spans burst
+        # dispatch → token fetch; wall minus both is host bookkeeping
         self.stats = {
             "admissions": 0, "admitted_requests": 0,
             "decode_steps": 0, "decode_slot_tokens": 0, "decode_bursts": 0,
+            "t_prefill": 0.0, "t_decode": 0.0,
         }
 
     def _sample(self, logits: jnp.ndarray) -> jnp.ndarray:
@@ -450,6 +456,7 @@ class PagedBatchServer:
         del self.pending[: len(batch)]
         self.stats["admissions"] += 1
         self.stats["admitted_requests"] += len(batch)
+        t_admit0 = time.perf_counter()
 
         # batch-size bucket (next power of two) — bounds the number of
         # compiled prefill programs to O(log slots × prompt buckets);
@@ -504,6 +511,7 @@ class PagedBatchServer:
             lora=self.trainable["lora"],
         )
         first_tokens = np.asarray(self._sample(last_logits), np.int32)
+        self.stats["t_prefill"] += time.perf_counter() - t_admit0
         for i, req in enumerate(batch):
             slot = {
                 "request_id": req.request_id, "table": tables[i],
@@ -570,14 +578,18 @@ class PagedBatchServer:
             + [np.zeros(self.pcfg.max_blocks_per_seq, np.int32)] * n_pad
         ))
         self.rng, key = jax.random.split(self.rng)
+        t_dec0 = time.perf_counter()
         toks, self.pools = paged_decode_burst(
             self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
             tables, self.pcfg, key, k, lora=self.trainable["lora"],
-            use_pallas=self._pool_sharding is None,
+            use_pallas=(self._pool_sharding is None
+                        and os.environ.get("PAGED_ATTN", "pallas") != "xla"),
             do_sample=self.do_sample, top_p=self.top_p,
             temperature=self.temperature,
         )
         toks = np.asarray(toks)  # [b, k] — ONE device→host sync per burst
+        t_dec1 = time.perf_counter()
+        self.stats["t_decode"] += t_dec1 - t_dec0
         self.stats["decode_steps"] += k
         self.stats["decode_bursts"] += 1
         self.stats["decode_slot_tokens"] += len(live) * k

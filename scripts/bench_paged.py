@@ -52,6 +52,13 @@ def main():
     from bench import build, make_clip_batch, qwen_3b_config
 
     cfg, frozen, trainable = build(qwen_3b_config())
+    if int(os.environ.get("PAGED_MERGE", 1)):
+        # merged-LoRA serving for BOTH paths (inference_hybird default):
+        # the paged decode step otherwise pays ~400 small adapter dots
+        from affectgpt_tpu.models import qwen2
+
+        frozen = {**frozen, "llm": qwen2.merge_lora(frozen["llm"], trainable["lora"], cfg.llm)}
+        trainable = {**trainable, "lora": None}
     print(f"# device: {jax.devices()[0]}", flush=True)
     input_ids, feats, offsets = make_clip_batch(cfg, DENSE_BATCH)
 
@@ -133,6 +140,9 @@ def main():
         "burst": BURST,
         "slot_occupancy": round(occupancy, 3),
         "ms_per_token_step": round(paged_dt * 1e3 / max(stats["decode_steps"], 1), 2),
+        "t_prefill_s": round(stats["t_prefill"], 2),
+        "t_decode_s": round(stats["t_decode"], 2),
+        "t_host_s": round(paged_dt - stats["t_prefill"] - stats["t_decode"], 2),
     }), flush=True)
 
 
