@@ -412,6 +412,9 @@ class PagedBatchServer:
             "decode_steps": 0, "decode_slot_tokens": 0, "decode_bursts": 0,
             "t_prefill": 0.0, "t_decode": 0.0,
         }
+        from affectgpt_tpu.inference.server import RequestClock
+
+        self.clock = RequestClock()
 
     def _sample(self, logits: jnp.ndarray) -> jnp.ndarray:
         """logits [b, vocab] → tokens [b] (top-p when sampling, else argmax;
@@ -425,6 +428,7 @@ class PagedBatchServer:
 
     def submit(self, request) -> None:
         self.pending.append(request)
+        self.clock.submitted(request.request_id)
 
     def _admit(self) -> None:
         free = [i for i, s in enumerate(self.slots) if s is None]
@@ -512,6 +516,8 @@ class PagedBatchServer:
         )
         first_tokens = np.asarray(self._sample(last_logits), np.int32)
         self.stats["t_prefill"] += time.perf_counter() - t_admit0
+        for req in batch:
+            self.clock.first_token(req.request_id)
         for i, req in enumerate(batch):
             slot = {
                 "request_id": req.request_id, "table": tables[i],
@@ -531,6 +537,7 @@ class PagedBatchServer:
         if tokens and tokens[-1] == self.tokenizer.eos_token_id:
             tokens = tokens[:-1]
         self.results[slot["request_id"]] = tokens
+        self.clock.finished(slot["request_id"], len(tokens))
         self.alloc.release(slot.get("reserved", 0))
         self.alloc.free_table(slot["table"])
         self.slots[index] = None

@@ -19,6 +19,7 @@ Design:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional
@@ -38,6 +39,62 @@ class Request:
     features: Dict[str, np.ndarray]  # {m: [tm, dm]}
     offsets: Dict[str, int]
     max_new_tokens: int = 64
+
+
+class RequestClock:
+    """Per-request SLA clock shared by both serving engines: wall-clock
+    submit → first token (TTFT, set when the admission prefill's sampled
+    token lands on host) → finish. `summary()` gives the request-level
+    latency distribution a production deployment alarms on — the piece
+    the engine-level phase timers (t_prefill/t_decode) can't see because
+    queueing delay accrues while OTHER requests hold the slots."""
+
+    def __init__(self):
+        self._t: Dict[int, Dict[str, float]] = {}
+        self._done: List[Dict[str, float]] = []
+
+    def submitted(self, request_id: int) -> None:
+        self._t[request_id] = {"submit": time.perf_counter()}
+
+    def first_token(self, request_id: int) -> None:
+        rec = self._t.get(request_id)
+        if rec is not None and "first" not in rec:
+            rec["first"] = time.perf_counter()
+
+    def finished(self, request_id: int, n_tokens: int) -> None:
+        rec = self._t.pop(request_id, None)
+        if rec is None:
+            return
+        now = time.perf_counter()
+        self._done.append({
+            "ttft": rec.get("first", now) - rec["submit"],
+            "e2e": now - rec["submit"],
+            "tokens": float(n_tokens),
+            "submit_abs": rec["submit"], "finish_abs": now,
+        })
+
+    def summary(self) -> Dict[str, float]:
+        if not self._done:
+            return {"requests": 0}
+        ttft = np.array([d["ttft"] for d in self._done])
+        e2e = np.array([d["e2e"] for d in self._done])
+        toks = np.array([d["tokens"] for d in self._done])
+        pct = lambda a, q: float(np.percentile(a, q))
+        return {
+            "requests": len(self._done),
+            "ttft_p50_ms": round(pct(ttft, 50) * 1e3, 1),
+            "ttft_p95_ms": round(pct(ttft, 95) * 1e3, 1),
+            "ttft_max_ms": round(float(ttft.max()) * 1e3, 1),
+            "e2e_p50_ms": round(pct(e2e, 50) * 1e3, 1),
+            "e2e_p95_ms": round(pct(e2e, 95) * 1e3, 1),
+            "e2e_max_ms": round(float(e2e.max()) * 1e3, 1),
+            "mean_tokens": round(float(toks.mean()), 1),
+            # generated tokens over the submit→finish window of the whole
+            # trace (engine throughput as a client would measure it)
+            "gen_tokens_per_s": round(float(toks.sum() / max(
+                max(d["finish_abs"] for d in self._done)
+                - min(d["submit_abs"] for d in self._done), 1e-9)), 1),
+        }
 
 
 @dataclass
@@ -154,10 +211,12 @@ class BatchServer:
         self.pending: List[Request] = []
         self.results: Dict[int, List[int]] = {}
         self._stops = {tokenizer.eos_token_id}
+        self.clock = RequestClock()
 
     # -- API -----------------------------------------------------------------
     def submit(self, request: Request) -> None:
         self.pending.append(request)
+        self.clock.submitted(request.request_id)
 
     def run_until_drained(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         for _ in range(max_steps):
@@ -207,6 +266,8 @@ class BatchServer:
         else:
             first = jnp.argmax(last_logits, axis=-1)
         first = np.asarray(first, np.int32)
+        for req in batch:
+            self.clock.first_token(req.request_id)
         for i, (slot, req) in enumerate(zip(slots, batch)):
             state = self.slots[slot]
             state.request_id = req.request_id
@@ -224,6 +285,7 @@ class BatchServer:
         if tokens and tokens[-1] in self._stops:
             tokens = tokens[:-1]
         self.results[state.request_id] = tokens
+        self.clock.finished(state.request_id, len(tokens))
         state.done = True
 
     def step(self) -> bool:

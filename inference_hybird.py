@@ -380,6 +380,7 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
                     tokenizer.decode(tokens, skip_special_tokens=True)
                 )
             logger.info("paged engine stats: %s", paged_server.stats)
+            logger.info("paged request SLAs: %s", paged_server.clock.summary())
         pool.shutdown(wait=False)
 
         np.savez_compressed(save_path, name2reason=name2reason)

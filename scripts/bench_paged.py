@@ -144,6 +144,9 @@ def main():
         "t_decode_s": round(stats["t_decode"], 2),
         "t_host_s": round(paged_dt - stats["t_prefill"] - stats["t_decode"], 2),
     }), flush=True)
+    # request-level SLA distribution (TTFT includes queueing behind the
+    # earlier admissions — the continuous-batching trade the engine makes)
+    print(json.dumps({"sla": server.clock.summary()}), flush=True)
 
 
 if __name__ == "__main__":

@@ -201,6 +201,10 @@ class TestPagedBatchServer:
             pserver.submit(r)
         paged_out = pserver.run_until_drained()
         assert paged_out == dense_out
+        sla = pserver.clock.summary()
+        assert sla["requests"] == len(requests)
+        assert sla["e2e_p50_ms"] >= sla["ttft_p50_ms"] >= 0
+        assert sla["mean_tokens"] > 0
 
         # top-p sampling mode: same seed → deterministic, valid token ids
         outs = []

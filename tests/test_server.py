@@ -59,6 +59,22 @@ class TestBatchServer:
                 req.request_id, results[req.request_id], expect,
             )
 
+    def test_request_clock_sla_summary(self):
+        server = BatchServer(FROZEN, TRAINABLE, CFG, TOK, max_slots=2, max_len=64)
+        for rid in range(5):
+            server.submit(make_request(rid, 6, max_new=4))
+        server.run_until_drained()
+        sla = server.clock.summary()
+        assert sla["requests"] == 5
+        # queueing monotonicity: p95 TTFT ≥ p50, e2e ≥ TTFT at every quantile
+        assert sla["ttft_p95_ms"] >= sla["ttft_p50_ms"] >= 0
+        assert sla["e2e_p50_ms"] >= sla["ttft_p50_ms"]
+        assert sla["e2e_max_ms"] >= sla["e2e_p50_ms"]
+        assert sla["mean_tokens"] > 0 and sla["gen_tokens_per_s"] > 0
+        # with 2 slots and 5 requests, the later admissions queue: max TTFT
+        # must exceed the best-case first-wave TTFT
+        assert sla["ttft_max_ms"] >= sla["ttft_p50_ms"]
+
     def test_slot_reuse_across_waves(self):
         server = BatchServer(FROZEN, TRAINABLE, CFG, TOK, max_slots=2, max_len=64)
         for rid in range(3):
