@@ -69,7 +69,9 @@ def _fc2_kernel(t_ref, x_ref, wo_ref, bo_ref, o_ref):
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "act", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("eps", "act", "interpret", "image_chunk")
+)
 def mlp_sublayer(
     x: jnp.ndarray,  # [b, n, w]
     ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,  # [w]
@@ -78,11 +80,32 @@ def mlp_sublayer(
     eps: float = 1e-5,
     act: str = "quick_gelu",
     interpret: bool = False,
+    image_chunk: int = 0,
 ) -> jnp.ndarray:
-    """x + fc2(act(fc1(LN(x)))) in x.dtype."""
+    """x + fc2(act(fc1(LN(x)))) in x.dtype.
+
+    image_chunk > 0 bounds the [chunk, n, I] HBM intermediate between the
+    two calls by running the pair under lax.map over image groups (largest
+    divisor of b ≤ image_chunk). At realtime b128 the un-chunked
+    intermediate is [2048, 264, 4096] bf16 = 4.4 GB — the tensor that blew
+    the 16 GB HBM budget (17.3 GB high water, CLAUDE.md); chunked at 512 it
+    is 1.1 GB. Numerics are bit-identical (the kernels are per-image)."""
     b, n, w = x.shape
     w2, inter = w_in.shape
     assert w2 == w and w_out.shape == (inter, w)
+    if image_chunk and b > image_chunk:
+        chunk = image_chunk
+        while b % chunk:  # largest divisor of b not above image_chunk
+            chunk -= 1
+        if chunk > 1:
+            ys = jax.lax.map(
+                lambda xc: mlp_sublayer(
+                    xc, ln_scale, ln_bias, w_in, b_in, w_out, b_out,
+                    eps=eps, act=act, interpret=interpret,
+                ),
+                x.reshape(b // chunk, chunk, n, w),
+            )
+            return ys.reshape(b, n, w)
 
     vec = lambda a: a.reshape(1, -1)
     img = pl.BlockSpec((1, n, w), lambda i: (i, 0, 0))
@@ -123,13 +146,20 @@ def mlp_sublayer(
     )(t, x, w_out, vec(b_out))
 
 
+def _image_chunk() -> int:
+    """Images per fc1→fc2 pair (0 = unchunked). Env CLIP_MLP_CHUNK."""
+    import os
+
+    return int(os.environ.get("CLIP_MLP_CHUNK", 512))
+
+
 def apply(block: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
     """Drop-in for the MLP half of models/clip_vit.py _apply_block."""
     return mlp_sublayer(
         x, block["ln2"]["scale"], block["ln2"]["bias"],
         block["mlp_in"]["w"], block["mlp_in"]["b"],
         block["mlp_out"]["w"], block["mlp_out"]["b"],
-        eps=eps,
+        eps=eps, image_chunk=_image_chunk(),
     )
 
 
@@ -140,5 +170,5 @@ def apply_hubert(layer: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
         x, layer["ffn_ln"]["scale"], layer["ffn_ln"]["bias"],
         layer["ffn_in"]["w"], layer["ffn_in"]["b"],
         layer["ffn_out"]["w"], layer["ffn_out"]["b"],
-        eps=eps, act="gelu",
+        eps=eps, act="gelu", image_chunk=_image_chunk(),
     )

@@ -43,6 +43,41 @@ def test_kernel_matches_xla_mlp():
     )
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
+    # image-chunked pair (bounds the [chunk, n, I] HBM intermediate) is
+    # bit-identical — same per-image kernels under lax.map. chunk=2 with
+    # b=3 exercises the largest-divisor fallback (3 % 2 != 0 → chunk 1
+    # divides but is rejected → unchunked path).
+    for chunk in (1, 2):
+        chunked = np.asarray(
+            mlp_sublayer(
+                x, block["ln2"]["scale"], block["ln2"]["bias"],
+                block["mlp_in"]["w"], block["mlp_in"]["b"],
+                block["mlp_out"]["w"], block["mlp_out"]["b"],
+                eps=1e-5, interpret=True, image_chunk=chunk,
+            )
+        )
+        np.testing.assert_array_equal(chunked, got)
+
+
+def test_image_chunk_divisor_split():
+    """b=4, chunk=2 actually splits (2 lax.map steps) and stays exact."""
+    rng = np.random.RandomState(2)
+    b, n, w, inter = 4, 8, 128, 256
+    args = (
+        jnp.asarray(1.0 + 0.1 * rng.randn(w), jnp.float32),
+        jnp.asarray(0.1 * rng.randn(w), jnp.float32),
+        jnp.asarray(rng.randn(w, inter) * 0.05, jnp.float32),
+        jnp.asarray(rng.randn(inter) * 0.1, jnp.float32),
+        jnp.asarray(rng.randn(inter, w) * 0.05, jnp.float32),
+        jnp.asarray(rng.randn(w) * 0.1, jnp.float32),
+    )
+    x = jnp.asarray(rng.randn(b, n, w), jnp.float32)
+    full = np.asarray(mlp_sublayer(x, *args, eps=1e-5, interpret=True))
+    split = np.asarray(
+        mlp_sublayer(x, *args, eps=1e-5, interpret=True, image_chunk=2)
+    )
+    np.testing.assert_array_equal(split, full)
+
 
 def test_hubert_gelu_variant():
     from affectgpt_tpu.ops.vit_mlp_pallas import apply_hubert
