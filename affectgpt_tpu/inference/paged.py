@@ -357,7 +357,8 @@ class PagedBatchServer:
     def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
                  max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
-                 prefill_bucket: int = 64, mesh=None, decode_burst: int = 8):
+                 prefill_bucket: int = 64, mesh=None, decode_burst: int = 8,
+                 admission: str = "reserve"):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
         if mesh is not None:
@@ -403,6 +404,19 @@ class PagedBatchServer:
         # (power-of-two-bucketed at run time so the compile count stays
         # O(log burst)). 1 restores per-token host stepping.
         self.decode_burst = max(1, decode_burst)
+        # "reserve" (default): admission claims a request's full-lifetime
+        # block budget up front — decode can never starve, but a pool
+        # sized below slots × max_tokens idles slots. "optimistic":
+        # admission claims prompt blocks only; when a decode burst would
+        # drain the pool, the youngest slot is recompute-preempted
+        # (blocks freed, request requeued at the head — vLLM's recompute
+        # preemption trade: higher occupancy for re-prefilled work).
+        assert admission in ("reserve", "optimistic"), admission
+        self.admission = admission
+        if admission == "optimistic":
+            # a lone survivor slot must always be able to grow to a full
+            # table, or preemption cannot make a burst feasible
+            assert self.pcfg.num_blocks - 1 >= self.pcfg.max_blocks_per_seq
         # engine counters (continuous-batching observability); t_* are
         # wall-clock seconds per device-fenced phase — t_prefill spans
         # admission staging → first-token fetch, t_decode spans burst
@@ -410,7 +424,7 @@ class PagedBatchServer:
         self.stats = {
             "admissions": 0, "admitted_requests": 0,
             "decode_steps": 0, "decode_slot_tokens": 0, "decode_bursts": 0,
-            "t_prefill": 0.0, "t_decode": 0.0,
+            "preemptions": 0, "t_prefill": 0.0, "t_decode": 0.0,
         }
         from affectgpt_tpu.inference.server import RequestClock
 
@@ -444,11 +458,15 @@ class PagedBatchServer:
                 break
             if tuple(sorted(req.features)) != signature:
                 break
-            # full-lifetime footprint: prompt + every decode token the
-            # request may emit (capped by the per-seq table size), so the
-            # pool can never run dry mid-decode
+            # "reserve": full-lifetime footprint (prompt + every decode
+            # token the request may emit, capped by the table size) so the
+            # pool can never run dry mid-decode. "optimistic": prompt
+            # blocks only — decode growth is resolved by preemption.
+            lifetime = len(req.input_ids) + (
+                0 if self.admission == "optimistic" else req.max_new_tokens
+            )
             need = min(
-                -(-(len(req.input_ids) + req.max_new_tokens) // self.pcfg.block_size),
+                -(-lifetime // self.pcfg.block_size),
                 self.pcfg.max_blocks_per_seq,
             )
             if blocks_needed + need > self.alloc.available():
@@ -479,11 +497,14 @@ class PagedBatchServer:
             ids[i, : len(req.input_ids)] = req.input_ids
             lengths[i] = len(req.input_ids)
             table = self.alloc.allocate(len(req.input_ids))
-            total = min(
-                -(-(len(req.input_ids) + req.max_new_tokens) // self.pcfg.block_size),
-                self.pcfg.max_blocks_per_seq,
-            )
-            reserve = total - len(table)
+            if self.admission == "optimistic":
+                reserve = 0
+            else:
+                total = min(
+                    -(-(len(req.input_ids) + req.max_new_tokens) // self.pcfg.block_size),
+                    self.pcfg.max_blocks_per_seq,
+                )
+                reserve = total - len(table)
             self.alloc.reserve(reserve)
             reserves.append(reserve)
             padded = np.zeros(self.pcfg.max_blocks_per_seq, np.int32)
@@ -525,6 +546,7 @@ class PagedBatchServer:
                 "tokens": [int(first_tokens[i])],
                 "remaining": req.max_new_tokens - 1,
                 "reserved": reserves[i],
+                "request": req,  # kept for recompute preemption requeue
             }
             slot_index = free[i]
             if slot["tokens"][0] == self.tokenizer.eos_token_id or slot["remaining"] <= 0:
@@ -541,6 +563,29 @@ class PagedBatchServer:
         self.alloc.release(slot.get("reserved", 0))
         self.alloc.free_table(slot["table"])
         self.slots[index] = None
+
+    def _preempt_for_burst(self, live, k):
+        """Optimistic admission's escape hatch: if growing every live table
+        by k tokens would drain the free list, recompute-preempt youngest
+        slots (max remaining budget = least sunk decode work) until the
+        burst fits. Preempted requests requeue at the head and re-prefill
+        from their original prompt (generated tokens are discarded — the
+        vLLM recompute-preemption semantics)."""
+
+        def burst_blocks(s):
+            target = min(s["pos"] + k, self.pcfg.max_seq_len)
+            return max(0, -(-target // self.pcfg.block_size) - len(s["table"]))
+
+        while (sum(burst_blocks(s) for _, s in live) > len(self.alloc.free)
+               and len(live) > 1):
+            j = max(range(len(live)), key=lambda idx: live[idx][1]["remaining"])
+            i, s = live.pop(j)
+            self.alloc.release(s.get("reserved", 0))
+            self.alloc.free_table(s["table"])
+            self.pending.insert(0, s["request"])
+            self.slots[i] = None
+            self.stats["preemptions"] += 1
+        return live
 
     def step(self) -> bool:
         self._admit()
@@ -561,6 +606,8 @@ class PagedBatchServer:
         k = max(1, k)
         while k & (k - 1):  # round down to a power of two
             k &= k - 1
+        if self.admission == "optimistic":
+            live = self._preempt_for_burst(live, k)
         for _, s in live:
             before = len(s["table"])
             # growth comes out of this slot's admission-time reservation
@@ -569,7 +616,7 @@ class PagedBatchServer:
             if need > 0:
                 self.alloc.release(min(need, s["reserved"]))
             self.alloc.extend(s["table"], s["pos"], target)
-            s["reserved"] -= len(s["table"]) - before
+            s["reserved"] = max(0, s["reserved"] - (len(s["table"]) - before))
             s["padded"][: len(s["table"])] = s["table"]
         # pad the live set to max_slots so the decode step compiles ONCE
         # (live count churns every step under continuous batching; dummy

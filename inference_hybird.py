@@ -82,6 +82,14 @@ def parse_args():
     parser.add_argument("--paged_slots", type=int, default=16,
                         help="concurrent sequences in the continuous-batching "
                              "engine (decode batch is padded to this)")
+    parser.add_argument("--paged_admission", choices=["reserve", "optimistic"],
+                        default="reserve",
+                        help="reserve: admission claims a request's full-"
+                             "lifetime block budget (decode can never starve). "
+                             "optimistic: prompt blocks only, with recompute "
+                             "preemption of the youngest slot when a decode "
+                             "burst would drain the pool — higher occupancy "
+                             "on undersized pools")
     parser.add_argument("--greedy", action="store_true", default=False,
                         help="greedy decoding (reproducible quality runs; "
                         "default is the reference's top-p 0.9 sampling)")
@@ -262,6 +270,7 @@ def make_paged_server(args, chat, max_prompt_tokens: int):
         pcfg=pcfg, max_slots=args.paged_slots,
         dtype=pool_dtype,
         do_sample=not args.greedy, top_p=0.9, seed=0, mesh=chat.mesh,
+        admission=args.paged_admission,
     )
 
 

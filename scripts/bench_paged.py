@@ -115,6 +115,7 @@ def main():
     server.run_until_drained()
     server.results.clear()
     server.stats = {k: 0 for k in server.stats}
+    server.clock.__init__()  # warmup requests out of the SLA trace
 
     for i in range(REQUESTS):
         server.submit(Request(

@@ -206,6 +206,38 @@ class TestPagedBatchServer:
         assert sla["e2e_p50_ms"] >= sla["ttft_p50_ms"] >= 0
         assert sla["mean_tokens"] > 0
 
+        # optimistic admission on a pool too small for both full lifetimes:
+        # prompts admit together (2 blocks each), decode growth drains the
+        # 9-block pool, and the youngest slot is recompute-preempted; final
+        # greedy outputs must STILL match the dense server exactly (the
+        # preempted request re-prefills from its original prompt).
+        tight = paged.PagedConfig(block_size=4, num_blocks=9, max_blocks_per_seq=8)
+        long_reqs = [make_req(i, l) for i, l in enumerate([6, 7])]
+        for r in long_reqs:
+            r.max_new_tokens = 16
+        dense2 = BatchServer(frozen, trainable, acfg, tok, max_slots=2, max_len=64)
+        for r in long_reqs:
+            dense2.submit(r)
+        dense2_out = dense2.run_until_drained()
+        oserver = PagedBatchServer(
+            frozen, trainable, acfg, tok, pcfg=tight, max_slots=2,
+            admission="optimistic",
+        )
+        for r in long_reqs:
+            oserver.submit(r)
+        opt_out = oserver.run_until_drained()
+        assert opt_out == dense2_out
+        assert oserver.stats["preemptions"] >= 1
+        # reserve mode on the same tight pool serializes instead (second
+        # request waits for the first's slot) — same outputs, no preemption
+        rserver = PagedBatchServer(
+            frozen, trainable, acfg, tok, pcfg=tight, max_slots=2,
+        )
+        for r in long_reqs:
+            rserver.submit(r)
+        assert rserver.run_until_drained() == dense2_out
+        assert rserver.stats["preemptions"] == 0
+
         # top-p sampling mode: same seed → deterministic, valid token ids
         outs = []
         for _ in range(2):
