@@ -636,8 +636,14 @@ class PagedBatchServer:
         toks, self.pools = paged_decode_burst(
             self.frozen["llm"], self.cfg.llm, self.pools, tokens, positions,
             tables, self.pcfg, key, k, lora=self.trainable["lora"],
+            # XLA gather attention by default: at serving batch the Pallas
+            # page kernel's (b × pages) grid — one 16 KB page DMA + a tiny
+            # dot per step — is per-step-overhead-bound (TPU-measured round
+            # 3 @ slots=128/3B: decode 6.56 s vs 2.87 s, 51.8 vs 77.1
+            # clips/s e2e). PAGED_ATTN=pallas re-enables the kernel
+            # (int8 pools stream half the page bytes).
             use_pallas=(self._pool_sharding is None
-                        and os.environ.get("PAGED_ATTN", "pallas") != "xla"),
+                        and os.environ.get("PAGED_ATTN", "xla") == "pallas"),
             do_sample=self.do_sample, top_p=self.top_p,
             temperature=self.temperature,
         )
