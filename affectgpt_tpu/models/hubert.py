@@ -128,7 +128,28 @@ def _use_sublayer(cfg: HubertConfig, params: dict) -> bool:
 
 
 def _conv_frontend(params: dict, cfg: HubertConfig, waveform: jnp.ndarray) -> jnp.ndarray:
-    """[b, samples] → [b, frames, conv_dim[-1]]."""
+    """[b, samples] → [b, frames, conv_dim[-1]].
+
+    Chunked over clips (HUBERT_CONV_CHUNK, default 256) when the batch is
+    larger: the first conv's [b, samples/5, 512] bf16 activation is the
+    batch-scaling HBM high-water mark of the whole realtime graph
+    ([1024, 6399, 512] = 6.25 GB at realtime b128 — the round-3 OOM once
+    the ViT MLP intermediate was chunked). The frontend output
+    [b, ~99, 512] is ~1/64 the size, so bounding the conv temps costs one
+    lax.map with negligible serialization (audio is ~15% of the pass)."""
+    import os
+
+    chunk = int(os.environ.get("HUBERT_CONV_CHUNK", 256))
+    b = waveform.shape[0]
+    if chunk and b > chunk:
+        while b % chunk:  # largest divisor of b not above the cap
+            chunk -= 1
+        if chunk > 1:
+            ys = jax.lax.map(
+                lambda wc: _conv_frontend(params, cfg, wc),
+                waveform.reshape(b // chunk, chunk, waveform.shape[1]),
+            )
+            return ys.reshape(b, ys.shape[2], ys.shape[3])
     x = waveform[:, None, :].astype(params["convs"][0]["w"].dtype)  # [b, 1, s]
     for i, conv in enumerate(params["convs"]):
         x = jax.lax.conv_general_dilated(

@@ -146,11 +146,21 @@ def mlp_sublayer(
     )(t, x, w_out, vec(b_out))
 
 
-def _image_chunk() -> int:
-    """Images per fc1→fc2 pair (0 = unchunked). Env CLIP_MLP_CHUNK."""
+def _image_chunk(x: jnp.ndarray, inter: int) -> int:
+    """Images per fc1→fc2 pair (0 = unchunked). The lax.map serialization
+    costs ~4.5% e2e when it isn't needed (TPU-measured: realtime b96
+    29.41 vs 30.81 chunked-always vs never), so chunking engages only
+    when the [b, n, I] intermediate alone would pass
+    CLIP_MLP_CHUNK_ABOVE_GB (default 4.0 — realtime b96's 3.3 GB fits
+    HBM unchunked, b128's 4.4 GB does not). CLIP_MLP_CHUNK sets the
+    group size (0 = never chunk)."""
     import os
 
-    return int(os.environ.get("CLIP_MLP_CHUNK", 512))
+    chunk = int(os.environ.get("CLIP_MLP_CHUNK", 512))
+    limit_gb = float(os.environ.get("CLIP_MLP_CHUNK_ABOVE_GB", 4.0))
+    b, n, _ = x.shape
+    inter_bytes = b * n * inter * x.dtype.itemsize
+    return chunk if inter_bytes > limit_gb * 2**30 else 0
 
 
 def apply(block: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -159,7 +169,7 @@ def apply(block: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
         x, block["ln2"]["scale"], block["ln2"]["bias"],
         block["mlp_in"]["w"], block["mlp_in"]["b"],
         block["mlp_out"]["w"], block["mlp_out"]["b"],
-        eps=eps, image_chunk=_image_chunk(),
+        eps=eps, image_chunk=_image_chunk(x, block["mlp_in"]["w"].shape[1]),
     )
 
 
@@ -170,5 +180,6 @@ def apply_hubert(layer: dict, x: jnp.ndarray, eps: float) -> jnp.ndarray:
         x, layer["ffn_ln"]["scale"], layer["ffn_ln"]["bias"],
         layer["ffn_in"]["w"], layer["ffn_in"]["b"],
         layer["ffn_out"]["w"], layer["ffn_out"]["b"],
-        eps=eps, act="gelu", image_chunk=_image_chunk(),
+        eps=eps, act="gelu",
+        image_chunk=_image_chunk(x, layer["ffn_in"]["w"].shape[1]),
     )

@@ -116,6 +116,18 @@ class TestEncoders:
         assert out.shape == (2, 3, cfg.hidden_size)
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_hubert_conv_chunk_exact(self, monkeypatch):
+        # chunked conv frontend (bounds the [b, samples/5, 512] HBM temp
+        # at realtime batch) is bit-identical to the unchunked path
+        monkeypatch.setenv("HUBERT_CONV_CHUNK", "3")
+        cfg = hubert.HubertConfig.tiny()
+        params = hubert.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        wav = jax.random.normal(jax.random.PRNGKey(1), (6, 800))
+        chunked = np.asarray(hubert._conv_frontend(params, cfg, wav))
+        monkeypatch.setenv("HUBERT_CONV_CHUNK", "0")
+        full = np.asarray(hubert._conv_frontend(params, cfg, wav))
+        np.testing.assert_array_equal(chunked, full)
+
 
 class TestQwen:
     def setup_method(self):
