@@ -222,19 +222,25 @@ def _decode_core(
         lora_layer = lora["layers"][i] if lora is not None else None
         lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
         h = _nn.rmsnorm(layer["input_ln"], x, llm_cfg.rms_eps)
-        q = _lora_dense(layer["q_proj"], lget("q_proj"), h, scaling).reshape(
-            b, 1, llm_cfg.num_heads, llm_cfg.head_dim
-        )
-        k = _lora_dense(layer["k_proj"], lget("k_proj"), h, scaling).reshape(
-            b, 1, llm_cfg.num_kv_heads, llm_cfg.head_dim
-        )
-        v = _lora_dense(layer["v_proj"], lget("v_proj"), h, scaling).reshape(
-            b, 1, llm_cfg.num_kv_heads, llm_cfg.head_dim
-        )
-        pos2 = positions[:, None]
-        q = _rope(q, pos2, llm_cfg.rope_theta)[:, 0]
-        k = _rope(k, pos2, llm_cfg.rope_theta)[:, 0]
-        new_pool = paged_write(pools[i], k, v[:, 0], block_ids, offsets)
+        # fused decode qkv (same dispatch/gating as the dense decode step;
+        # q=1 op-dispatch overhead is part of the paged-vs-dense step gap)
+        fused = qwen2._decode_qkv_fused(layer, lora_layer, llm_cfg, h[:, 0, :], positions)
+        if fused is not None:
+            q, k, v = fused  # [b, heads|kv, d], rope applied in-kernel
+        else:
+            q = _lora_dense(layer["q_proj"], lget("q_proj"), h, scaling).reshape(
+                b, 1, llm_cfg.num_heads, llm_cfg.head_dim
+            )
+            k = _lora_dense(layer["k_proj"], lget("k_proj"), h, scaling).reshape(
+                b, 1, llm_cfg.num_kv_heads, llm_cfg.head_dim
+            )
+            v = _lora_dense(layer["v_proj"], lget("v_proj"), h, scaling).reshape(
+                b, 1, llm_cfg.num_kv_heads, llm_cfg.head_dim
+            )[:, 0]
+            pos2 = positions[:, None]
+            q = _rope(q, pos2, llm_cfg.rope_theta)[:, 0]
+            k = _rope(k, pos2, llm_cfg.rope_theta)[:, 0]
+        new_pool = paged_write(pools[i], k, v, block_ids, offsets)
         new_pools.append(new_pool)
         attn = paged_attention_auto(
             q.reshape(b, llm_cfg.num_heads, llm_cfg.head_dim),
@@ -245,8 +251,12 @@ def _decode_core(
         ).reshape(b, 1, llm_cfg.num_heads * llm_cfg.head_dim)
         attn = _lora_dense(layer["o_proj"], lget("o_proj"), attn, scaling, has_bias=False)
         x = x + attn
-        h = _nn.rmsnorm(layer["post_attn_ln"], x, llm_cfg.rms_eps)
-        x = x + _mlp(layer, lora_layer, llm_cfg, h)
+        y = qwen2._decode_mlp_fused(layer, lora_layer, llm_cfg, x)
+        if y is not None:
+            x = y
+        else:
+            h = _nn.rmsnorm(layer["post_attn_ln"], x, llm_cfg.rms_eps)
+            x = x + _mlp(layer, lora_layer, llm_cfg, h)
 
     x = _nn.rmsnorm(frozen_llm["final_ln"], x, llm_cfg.rms_eps)
     if llm_cfg.tie_embeddings:

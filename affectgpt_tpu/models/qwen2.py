@@ -424,6 +424,125 @@ DECODE_MLP = "auto"
 DECODE_QKV = "auto"
 
 
+def _decode_kernel_backend_ok() -> bool:
+    """Fused decode kernels run on TPU; AFFECTGPT_DECODE_KERNEL_INTERPRET=1
+    additionally enables them in Pallas interpret mode off-TPU so the
+    dispatch wiring (incl. the paged engine's) is testable on CPU."""
+    import os
+
+    if jax.default_backend() == "tpu":
+        return True
+    return os.environ.get("AFFECTGPT_DECODE_KERNEL_INTERPRET", "0") == "1"
+
+
+def _decode_kernel_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _decode_qkv_fused(
+    layer, lora_layer, cfg: QwenConfig, x2d: jnp.ndarray, pos1d: jnp.ndarray
+) -> Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """Fused decode q/k/v dispatch shared by the dense decode step and the
+    paged engine: 3 projections + biases + rope in one kernel with
+    VMEM-resident weights (ops/decode_qkv_pallas; q=1 decode is
+    op-overhead-bound). x2d [b, hidden], pos1d [b]. Returns
+    (q [b, heads, d], k [b, kv, d], v [b, kv, d]) with rope already
+    applied, or None when the kernel isn't eligible (caller falls back to
+    the per-projection path)."""
+    b = x2d.shape[0]
+    n_q_dim = cfg.num_heads * cfg.head_dim
+    n_kv_dim = cfg.num_kv_heads * cfg.head_dim
+    if not (
+        DECODE_QKV in ("auto", "pallas")
+        and lora_layer is None
+        and "w" in layer["q_proj"]
+        and cfg.head_dim % 2 == 0
+        and cfg.hidden_size % 128 == 0
+        and n_q_dim % 128 == 0
+        and n_kv_dim % 128 == 0
+        and _decode_kernel_backend_ok()
+        and b % 8 == 0
+    ):
+        return None
+    # auto: only when the VMEM-resident q/k/v weights actually fit
+    if DECODE_QKV != "pallas" and (
+        cfg.hidden_size * (n_q_dim + 2 * n_kv_dim)
+        * jnp.dtype(layer["q_proj"]["w"].dtype).itemsize
+        > 12 * 2**20
+    ):
+        return None
+    from affectgpt_tpu.ops.decode_qkv_pallas import decode_qkv
+
+    zq = jnp.zeros((n_q_dim,), x2d.dtype)
+    zkv = jnp.zeros((n_kv_dim,), x2d.dtype)
+    q2, k2, v2 = decode_qkv(
+        x2d, pos1d,
+        layer["q_proj"]["w"], layer["q_proj"].get("b", zq),
+        layer["k_proj"]["w"], layer["k_proj"].get("b", zkv),
+        layer["v_proj"]["w"], layer["v_proj"].get("b", zkv),
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, theta=cfg.rope_theta,
+        interpret=_decode_kernel_interpret(),
+    )
+    return (
+        q2.reshape(b, cfg.num_heads, cfg.head_dim),
+        k2.reshape(b, cfg.num_kv_heads, cfg.head_dim),
+        v2.reshape(b, cfg.num_kv_heads, cfg.head_dim),
+    )
+
+
+def _decode_mlp_fused(
+    layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray
+) -> Optional[jnp.ndarray]:
+    """Fused decode-MLP dispatch shared by the dense decode step and the
+    paged engine: rmsnorm → gate/up → silu·mul → down → residual in one
+    kernel. x [b, 1, hidden] (post-attention residual stream). Returns the
+    new residual stream [b, 1, hidden], or None when no kernel is eligible
+    (caller falls back to rmsnorm + _mlp)."""
+    b = x.shape[0]
+    if (
+        DECODE_MLP in ("auto", "pallas")
+        and lora_layer is None
+        and "w" in layer.get("gate_proj", {})
+        and cfg.intermediate_size % 128 == 0
+        and cfg.hidden_size % 128 == 0
+        and _decode_kernel_backend_ok()
+        and b % 8 == 0
+    ):
+        # bf16 split layout (ops/decode_mlp_bf16_pallas; TPU-measured +1.3%
+        # e2e at 3B b384 — weights stream, activations stay in VMEM)
+        from affectgpt_tpu.ops.decode_mlp_bf16_pallas import decode_mlp_bf16
+
+        y = decode_mlp_bf16(
+            x[:, 0, :], layer["post_attn_ln"]["scale"],
+            layer["gate_proj"]["w"], layer["up_proj"]["w"],
+            layer["down_proj"]["w"], eps=cfg.rms_eps,
+            interpret=_decode_kernel_interpret(),
+        )
+        return y[:, None, :]
+    if (
+        DECODE_MLP == "pallas"
+        and lora_layer is None
+        and "w_q" in layer.get("gate_proj", {})
+        and _decode_kernel_backend_ok()
+        and b % 8 == 0
+        and cfg.intermediate_size % 512 == 0
+    ):
+        # int8 sibling (ops/decode_mlp_pallas; measured −1.5% at 7B — the
+        # per-tile int8→bf16 convert eats the fusion win, so auto skips it)
+        from affectgpt_tpu.ops.decode_mlp_pallas import decode_mlp_pallas
+
+        y = decode_mlp_pallas(
+            x[:, 0, :], layer["post_attn_ln"]["scale"],
+            layer["gate_proj"]["w_q"], layer["gate_proj"]["scales"],
+            layer["up_proj"]["w_q"], layer["up_proj"]["scales"],
+            layer["down_proj"]["w_q"], layer["down_proj"]["scales"],
+            eps=cfg.rms_eps, interpret=_decode_kernel_interpret(),
+        )
+        return y[:, None, :]
+    return None
+
+
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-row int8 quantization over the trailing (head_dim) axis.
     Returns (int8 values, float32 scale [..., 1])."""
@@ -452,43 +571,15 @@ def _attention(
         k = y[..., n_q_dim : n_q_dim + n_kv_dim].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = y[..., n_q_dim + n_kv_dim :].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
     elif (
-        DECODE_QKV in ("auto", "pallas")
-        and cache is not None
+        cache is not None
         and t == 1
-        and lora_layer is None
-        and "w" in layer["q_proj"]
-        and cfg.head_dim % 2 == 0
-        and cfg.hidden_size % 128 == 0
-        and n_q_dim % 128 == 0
-        and n_kv_dim % 128 == 0
-        and jax.default_backend() == "tpu"
-        and b % 8 == 0
-        # auto: only when the VMEM-resident q/k/v weights actually fit
-        and (
-            DECODE_QKV == "pallas"
-            or cfg.hidden_size * (n_q_dim + 2 * n_kv_dim)
-            * jnp.dtype(layer["q_proj"]["w"].dtype).itemsize
-            <= 12 * 2**20
-        )
+        and (fused := _decode_qkv_fused(
+            layer, lora_layer, cfg, x[:, 0, :], positions[:, 0]
+        )) is not None
     ):
-        # fused decode qkv: 3 projections + biases + rope in one kernel,
-        # weights VMEM-resident across batch tiles (q=1 decode is
-        # op-overhead-bound; see ops/decode_qkv_pallas.py)
-        from affectgpt_tpu.ops.decode_qkv_pallas import decode_qkv
-
-        zq = jnp.zeros((cfg.num_heads * cfg.head_dim,), x.dtype)
-        zkv = jnp.zeros((cfg.num_kv_heads * cfg.head_dim,), x.dtype)
-        q2, k2, v2 = decode_qkv(
-            x[:, 0, :], positions[:, 0],
-            layer["q_proj"]["w"], layer["q_proj"].get("b", zq),
-            layer["k_proj"]["w"], layer["k_proj"].get("b", zkv),
-            layer["v_proj"]["w"], layer["v_proj"].get("b", zkv),
-            num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
-            head_dim=cfg.head_dim, theta=cfg.rope_theta,
-        )
-        q = q2.reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = k2.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = v2.reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q = fused[0].reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = fused[1].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = fused[2].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         roped = True  # kernel applied rope in-VMEM
     else:
         q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling).reshape(b, t, cfg.num_heads, cfg.head_dim)
@@ -678,49 +769,13 @@ def forward(
             layer, lora_layer, cfg, h, positions, mask, layer_cache, cache_index
         )
         x = x + attn_out
-        if (
-            DECODE_MLP in ("auto", "pallas")
-            and layer_cache is not None
-            and t == 1
-            and lora_layer is None
-            and "w" in layer.get("gate_proj", {})
-            and cfg.intermediate_size % 128 == 0
-            and cfg.hidden_size % 128 == 0
-            and jax.default_backend() == "tpu"
-            and b % 8 == 0
-        ):
-            # fused bf16 decode MLP: norm + gate/up + silu·mul + down +
-            # residual in one kernel (weights stream, activations in VMEM)
-            from affectgpt_tpu.ops.decode_mlp_bf16_pallas import decode_mlp_bf16
-
-            y = decode_mlp_bf16(
-                x[:, 0, :], layer["post_attn_ln"]["scale"],
-                layer["gate_proj"]["w"], layer["up_proj"]["w"],
-                layer["down_proj"]["w"], eps=cfg.rms_eps,
-            )
-            x = y[:, None, :]
-        elif (
-            DECODE_MLP == "pallas"
-            and layer_cache is not None
-            and t == 1
-            and lora_layer is None
-            and "w_q" in layer.get("gate_proj", {})
-            and jax.default_backend() == "tpu"
-            and b % 8 == 0
-            and cfg.intermediate_size % 512 == 0
-        ):
-            # fused decode MLP: norm + 3 int8 matmuls + silu·mul + residual
-            # in one kernel (activations never round-trip HBM)
-            from affectgpt_tpu.ops.decode_mlp_pallas import decode_mlp_pallas
-
-            y = decode_mlp_pallas(
-                x[:, 0, :], layer["post_attn_ln"]["scale"],
-                layer["gate_proj"]["w_q"], layer["gate_proj"]["scales"],
-                layer["up_proj"]["w_q"], layer["up_proj"]["scales"],
-                layer["down_proj"]["w_q"], layer["down_proj"]["scales"],
-                eps=cfg.rms_eps,
-            )
-            x = y[:, None, :]
+        y = (
+            _decode_mlp_fused(layer, lora_layer, cfg, x)
+            if layer_cache is not None and t == 1
+            else None
+        )
+        if y is not None:
+            x = y
         else:
             h = nn.rmsnorm(layer["post_attn_ln"], x, cfg.rms_eps)
             x = x + _mlp(layer, lora_layer, cfg, h)

@@ -403,3 +403,47 @@ class TestReservationPreventsMidDecodeExhaustion:
         assert set(out) == {0, 1, 2, 3}
         assert server.alloc.reserved == 0
         assert len(server.alloc.free) == pcfg.num_blocks - 1
+
+
+class TestFusedDecodeKernels:
+    def test_fused_kernels_match_unfused_paged_step(self, monkeypatch):
+        """The paged decode core with the fused qkv/MLP decode kernels
+        (interpret mode; same dispatch as the dense decode step) is
+        numerically identical to the per-projection path."""
+        monkeypatch.setenv("AFFECTGPT_DECODE_KERNEL_INTERPRET", "1")
+        cfg = qwen2.QwenConfig(
+            vocab_size=64, hidden_size=128, intermediate_size=256,
+            num_layers=2, num_heads=2, num_kv_heads=2, head_dim=64,
+        )
+        params = qwen2.init_params(jax.random.PRNGKey(3), cfg, dtype=jnp.float32)
+        pcfg = paged.PagedConfig(block_size=4, num_blocks=64, max_blocks_per_seq=8)
+        b = 8
+        tokens = jnp.arange(b, dtype=jnp.int32) % cfg.vocab_size
+        positions = jnp.asarray([3, 5, 1, 7, 2, 9, 4, 6], jnp.int32)
+        tables = jnp.asarray(
+            np.arange(1, 1 + b * pcfg.max_blocks_per_seq, dtype=np.int32).reshape(
+                b, pcfg.max_blocks_per_seq
+            )
+        )
+
+        def run():
+            pools = paged.init_paged_cache(cfg, pcfg, dtype=jnp.float32)
+            # pre-fill pools with deterministic junk so attention reads real data
+            pools = jax.tree_util.tree_map(
+                lambda p: p + 0.01 * jnp.arange(p.size, dtype=p.dtype).reshape(p.shape)
+                if p.dtype != jnp.int32 else p,
+                pools,
+            )
+            logits, new_pools = paged.paged_decode_step(
+                params, cfg, pools, tokens, positions, tables, pcfg,
+                use_pallas=False,
+            )
+            return np.asarray(logits), new_pools
+
+        assert qwen2._decode_qkv_fused(
+            params["layers"][0], None, cfg, jnp.zeros((b, cfg.hidden_size)), positions
+        ) is not None, "gate must engage for this geometry"
+        fused_logits, _ = run()
+        monkeypatch.setenv("AFFECTGPT_DECODE_KERNEL_INTERPRET", "0")
+        unfused_logits, _ = run()
+        np.testing.assert_allclose(fused_logits, unfused_logits, atol=2e-3, rtol=2e-3)
