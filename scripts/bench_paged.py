@@ -14,7 +14,7 @@ step — amortize over PAGED_BURST tokens.
 
 Run: python scripts/bench_paged.py
 Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
-     PAGED_DENSE_BATCH (256), PAGED_BURST (8).
+     PAGED_DENSE_BATCH (256), PAGED_BURST (8), PAGED_BLOCK (16).
 """
 
 from __future__ import annotations
@@ -92,10 +92,11 @@ def main():
 
     # ---- paged path: stream the same requests through the engine ----
     max_tokens = PROMPT_LEN + NEW
+    block = int(os.environ.get("PAGED_BLOCK", 16))
     pcfg = PagedConfig(
-        block_size=16,
-        num_blocks=SLOTS * (-(-max_tokens // 16)) + 64,
-        max_blocks_per_seq=-(-max_tokens // 16),
+        block_size=block,
+        num_blocks=SLOTS * (-(-max_tokens // block)) + 64,
+        max_blocks_per_seq=-(-max_tokens // block),
     )
     server = PagedBatchServer(
         frozen, trainable, cfg, _Tok(), pcfg=pcfg, max_slots=SLOTS,
