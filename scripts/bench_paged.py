@@ -14,7 +14,9 @@ step — amortize over PAGED_BURST tokens.
 
 Run: python scripts/bench_paged.py
 Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
-     PAGED_DENSE_BATCH (256), PAGED_BURST (8), PAGED_BLOCK (16).
+     PAGED_DENSE_BATCH (256), PAGED_BURST (8), PAGED_BLOCK (16),
+     PAGED_GEOMETRY=7b + PAGED_BITS (8) for the int8 flagship geometry
+     (LoRA unmerged — quantized weights can't absorb the merge).
 """
 
 from __future__ import annotations
@@ -51,8 +53,20 @@ def main():
     from affectgpt_tpu.inference.server import Request
     from bench import build, make_clip_batch, qwen_3b_config
 
-    cfg, frozen, trainable = build(qwen_3b_config())
-    if int(os.environ.get("PAGED_MERGE", 1)):
+    geom = os.environ.get("PAGED_GEOMETRY", "3b")
+    if geom == "7b":
+        # flagship geometry: weights born int8-quantized on device (the
+        # bf16 master tree would not fit one v5e HBM) — LoRA stays
+        # unmerged (merge requires the bf16 "w" layout)
+        from affectgpt_tpu.models import qwen2 as _q7
+
+        cfg, frozen, trainable = build(
+            _q7.QwenConfig.qwen25_7b(),
+            quant_bits=int(os.environ.get("PAGED_BITS", 8)),
+        )
+    else:
+        cfg, frozen, trainable = build(qwen_3b_config())
+    if geom == "3b" and int(os.environ.get("PAGED_MERGE", 1)):
         # merged-LoRA serving for BOTH paths (inference_hybird default):
         # the paged decode step otherwise pays ~400 small adapter dots
         from affectgpt_tpu.models import qwen2
@@ -132,7 +146,7 @@ def main():
     stats = server.stats
     occupancy = stats["decode_slot_tokens"] / max(stats["decode_steps"] * SLOTS, 1)
     print(json.dumps({
-        "metric": f"paged vs dense clips/s (3B, {REQUESTS} reqs, slots {SLOTS}, {NEW} new)",
+        "metric": f"paged vs dense clips/s ({geom.upper()}, {REQUESTS} reqs, slots {SLOTS}, {NEW} new)",
         "value": round(paged_cps, 1),
         "unit": "clips/s",
         "dense_clips_per_s": round(dense_cps, 1),
