@@ -221,13 +221,17 @@ def _decode_core(
     for i, layer in enumerate(frozen_llm["layers"]):
         lora_layer = lora["layers"][i] if lora is not None else None
         lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
-        h = _nn.rmsnorm(layer["input_ln"], x, llm_cfg.rms_eps)
         # fused decode qkv (same dispatch/gating as the dense decode step;
-        # q=1 op-dispatch overhead is part of the paged-vs-dense step gap)
-        fused = qwen2._decode_qkv_fused(layer, lora_layer, llm_cfg, h[:, 0, :], positions)
+        # q=1 op-dispatch overhead is part of the paged-vs-dense step gap).
+        # The input rmsnorm folds into the kernel (ln=) — only the fallback
+        # path norms explicitly.
+        fused = qwen2._decode_qkv_fused(
+            layer, lora_layer, llm_cfg, x[:, 0, :], positions, ln=layer["input_ln"]
+        )
         if fused is not None:
             q, k, v = fused  # [b, heads|kv, d], rope applied in-kernel
         else:
+            h = _nn.rmsnorm(layer["input_ln"], x, llm_cfg.rms_eps)
             q = _lora_dense(layer["q_proj"], lget("q_proj"), h, scaling).reshape(
                 b, 1, llm_cfg.num_heads, llm_cfg.head_dim
             )

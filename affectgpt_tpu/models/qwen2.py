@@ -423,6 +423,19 @@ DECODE_MLP = "auto"
 # (default) additionally requires the resident q/k/v weights ≤ 12 MB.
 DECODE_QKV = "auto"
 
+# Trace-time switch for the decode attention BACK half: QK^T → online
+# softmax → PV → o_proj → residual in one kernel with W_o VMEM-resident
+# (ops/decode_attn_o_pallas). Only engages on top of the fused qkv kernel
+# (needs the raw residual stream + roped q it produces). TPU-measured a
+# 1.5% LOSS at 3B b384 (156.75 vs 159.09 clips/s) — XLA already schedules
+# the decode attention chain at (better than) kernel speed, matching the
+# earlier neutral decode_attention_pallas result; with qkv-fused +1.5%,
+# MLP-fused +1.3%, attention-fused −1.5%, a full-layer decode megakernel
+# cannot win on this stack (its attention portion is the loss) — the
+# VERDICT round-2 item-10 probe, closed out. Stays "xla"; "pallas" forces,
+# "auto" gates on resident W_o ≤ 12 MB. BENCH_DECODE_ATTN_O in bench.py.
+DECODE_ATTN_O = "xla"
+
 
 def _decode_kernel_backend_ok() -> bool:
     """Fused decode kernels run on TPU; AFFECTGPT_DECODE_KERNEL_INTERPRET=1
@@ -440,15 +453,19 @@ def _decode_kernel_interpret() -> bool:
 
 
 def _decode_qkv_fused(
-    layer, lora_layer, cfg: QwenConfig, x2d: jnp.ndarray, pos1d: jnp.ndarray
+    layer, lora_layer, cfg: QwenConfig, x2d: jnp.ndarray, pos1d: jnp.ndarray,
+    ln: Optional[dict] = None,
 ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
     """Fused decode q/k/v dispatch shared by the dense decode step and the
     paged engine: 3 projections + biases + rope in one kernel with
     VMEM-resident weights (ops/decode_qkv_pallas; q=1 decode is
-    op-overhead-bound). x2d [b, hidden], pos1d [b]. Returns
+    op-overhead-bound). x2d [b, hidden], pos1d [b]. With ln (the input_ln
+    param dict) given, x2d is the RAW residual stream and the pre-attention
+    rmsnorm also runs in-kernel. Returns
     (q [b, heads, d], k [b, kv, d], v [b, kv, d]) with rope already
     applied, or None when the kernel isn't eligible (caller falls back to
-    the per-projection path)."""
+    the per-projection path — and must then norm x2d itself when it passed
+    ln)."""
     b = x2d.shape[0]
     n_q_dim = cfg.num_heads * cfg.head_dim
     n_kv_dim = cfg.num_kv_heads * cfg.head_dim
@@ -482,6 +499,7 @@ def _decode_qkv_fused(
         layer["v_proj"]["w"], layer["v_proj"].get("b", zkv),
         num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
         head_dim=cfg.head_dim, theta=cfg.rope_theta,
+        ln_scale=None if ln is None else ln["scale"], eps=cfg.rms_eps,
         interpret=_decode_kernel_interpret(),
     )
     return (
@@ -555,7 +573,12 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 def _attention(
     layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray, positions: jnp.ndarray,
     mask: jnp.ndarray, cache: Optional[dict], cache_index: Optional[jnp.ndarray],
+    pre_ln: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, Optional[dict]]:
+    """pre_ln: when given, x is the RAW residual stream and this function
+    owns the pre-attention rmsnorm — the fused decode-qkv kernel then folds
+    it in-VMEM (one fewer [b,d] HBM round trip per layer per decode step);
+    every fallback path norms explicitly first."""
     b, t, _ = x.shape
     scaling = cfg.lora_alpha / cfg.lora_r
     lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
@@ -563,6 +586,13 @@ def _attention(
     n_q_dim = cfg.num_heads * cfg.head_dim
     n_kv_dim = cfg.num_kv_heads * cfg.head_dim
     roped = False
+    fused = None
+    if cache is not None and t == 1 and "qkv_proj" not in layer:
+        fused = _decode_qkv_fused(
+            layer, lora_layer, cfg, x[:, 0, :], positions[:, 0], ln=pre_ln
+        )
+    if pre_ln is not None and fused is None:
+        x = nn.rmsnorm(pre_ln, x, cfg.rms_eps)
     if "qkv_proj" in layer:
         # fused serving layout (fuse_qkv_gateup): one matmul, split columns
         assert lora_layer is None, "fused layout serves merged-LoRA weights"
@@ -570,13 +600,7 @@ def _attention(
         q = y[..., :n_q_dim].reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = y[..., n_q_dim : n_q_dim + n_kv_dim].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = y[..., n_q_dim + n_kv_dim :].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-    elif (
-        cache is not None
-        and t == 1
-        and (fused := _decode_qkv_fused(
-            layer, lora_layer, cfg, x[:, 0, :], positions[:, 0]
-        )) is not None
-    ):
+    elif fused is not None:
         q = fused[0].reshape(b, t, cfg.num_heads, cfg.head_dim)
         k = fused[1].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         v = fused[2].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
@@ -666,6 +690,33 @@ def _attention(
 
     groups = cfg.num_heads // cfg.num_kv_heads
     if (
+        DECODE_ATTN_O in ("auto", "pallas")
+        and fused is not None
+        and pre_ln is not None  # x is still the RAW residual stream
+        and not kv_quant
+        and lora_layer is None
+        and "w" in layer["o_proj"]
+        and cfg.head_dim % 128 == 0  # q/k/v block trailing dim lane-aligned
+        and _decode_kernel_backend_ok()
+        and (
+            DECODE_ATTN_O == "pallas"
+            or cfg.num_heads * cfg.head_dim * cfg.hidden_size
+            * jnp.dtype(layer["o_proj"]["w"].dtype).itemsize
+            <= 12 * 2**20
+        )
+    ):
+        # fused attention back half: QK^T → online softmax → PV → o_proj →
+        # residual, one kernel, W_o resident (ops/decode_attn_o_pallas)
+        from affectgpt_tpu.ops.decode_attn_o_pallas import decode_attn_o
+
+        key_mask = (mask[:, 0, 0, :] if mask.ndim == 4 else mask[:, 0, :])
+        qd = q[:, 0].reshape(b, cfg.num_kv_heads, groups, cfg.head_dim)
+        x_new = decode_attn_o(
+            x[:, 0, :], qd, k, v, key_mask, layer["o_proj"]["w"],
+            interpret=_decode_kernel_interpret(),
+        )
+        return x_new[:, None, :], new_cache, True
+    if (
         DECODE_ATTENTION == "pallas"
         and cache is not None
         and not kv_quant
@@ -679,7 +730,7 @@ def _attention(
         qd = q[:, 0].reshape(b, cfg.num_kv_heads, groups, cfg.head_dim)
         out = decode_attention_pallas(qd, k, v, key_mask)
         out = out.astype(x.dtype).reshape(b, 1, cfg.num_heads * cfg.head_dim)
-        return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
+        return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache, False
 
     # GQA without materializing repeated K/V: fold the query-head groups into
     # a 5-D einsum so XLA broadcasts K/V inside the matmul (a jnp.repeat here
@@ -709,7 +760,7 @@ def _attention(
     probs = probs.astype(v.dtype)
     out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, cfg.num_heads * cfg.head_dim)
-    return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache
+    return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache, False
 
 
 def _mlp(layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray) -> jnp.ndarray:
@@ -764,11 +815,12 @@ def forward(
     new_cache = [] if cache is not None else None
 
     def layer_fn(x, layer, lora_layer, layer_cache):
-        h = nn.rmsnorm(layer["input_ln"], x, cfg.rms_eps)
-        attn_out, updated = _attention(
-            layer, lora_layer, cfg, h, positions, mask, layer_cache, cache_index
+        attn_out, updated, residual_done = _attention(
+            layer, lora_layer, cfg, x, positions, mask, layer_cache,
+            cache_index, pre_ln=layer["input_ln"],
         )
-        x = x + attn_out
+        # the fused attn+o kernel already added the residual stream
+        x = attn_out if residual_done else x + attn_out
         y = (
             _decode_mlp_fused(layer, lora_layer, cfg, x)
             if layer_cache is not None and t == 1
@@ -782,7 +834,18 @@ def forward(
         return x, updated
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn, static_argnums=())
+        # remat=True: full per-layer rematerialization (minimum memory —
+        # backward re-runs the whole layer forward). remat="dots": save
+        # every non-batched matmul output (q/k/v/o/gate/up/down — the
+        # attention einsums carry batch dims and are NOT saved), so the
+        # backward only recomputes cheap elementwise work; trades
+        # ~110 MB/layer at 3B b8 t256 for skipping ~1/3 of the step FLOPs.
+        policy = (
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            if remat == "dots"
+            else None
+        )
+        layer_fn = jax.checkpoint(layer_fn, static_argnums=(), policy=policy)
 
     # AFFECTGPT_LAYER_BARRIER=1: pin layer boundaries with an
     # optimization_barrier so XLA's scheduler cannot keep many layers'

@@ -43,14 +43,22 @@ def _rope_rows(y, cos, sin, num_heads: int, head_dim: int):
 
 
 def _kernel(
-    x_ref,  # [bm, d] normalized activations
+    x_ref,  # [bm, d] activations (pre-norm when ln_ref is given, else normalized)
     cos_ref,  # [bm, head_dim/2] f32
     sin_ref,  # [bm, head_dim/2] f32
+    ln_ref,  # [1, d] rmsnorm scale, or None (x pre-normalized outside)
     wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     q_ref, k_ref, v_ref,
-    *, num_heads: int, num_kv_heads: int, head_dim: int,
+    *, num_heads: int, num_kv_heads: int, head_dim: int, eps: float,
 ):
-    x = x_ref[:]
+    if ln_ref is not None:
+        xf = x_ref[:].astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        x = (xf * jax.lax.rsqrt(var + eps) * ln_ref[:].astype(jnp.float32)).astype(
+            x_ref.dtype
+        )
+    else:
+        x = x_ref[:]
     cos = cos_ref[:].astype(jnp.float32)
     sin = sin_ref[:].astype(jnp.float32)
 
@@ -68,20 +76,24 @@ def _kernel(
 @partial(
     jax.jit,
     static_argnames=("num_heads", "num_kv_heads", "head_dim", "theta",
-                     "block_m", "interpret"),
+                     "block_m", "eps", "interpret"),
 )
 def decode_qkv(
-    x: jnp.ndarray,  # [b, d] normalized activations (post-rmsnorm)
+    x: jnp.ndarray,  # [b, d] activations ([pre-]normalized, see ln_scale)
     positions: jnp.ndarray,  # [b] int32 rope positions
     wq: jnp.ndarray, bq: jnp.ndarray,  # [d, H*hd], [H*hd]
     wk: jnp.ndarray, bk: jnp.ndarray,  # [d, kv*hd], [kv*hd]
     wv: jnp.ndarray, bv: jnp.ndarray,
     num_heads: int, num_kv_heads: int, head_dim: int, theta: float,
     block_m: int = 128,
+    ln_scale: jnp.ndarray | None = None,  # [d]: fold rmsnorm(x)·scale in-kernel
+    eps: float = 1e-6,
     interpret: bool = False,
 ):
     """Returns (q [b, H*hd], k [b, kv*hd], v [b, kv*hd]), q/k roped at
-    positions, all in x.dtype."""
+    positions, all in x.dtype. With ln_scale given, x is the RAW residual
+    stream and the pre-attention rmsnorm runs in-kernel on the VMEM tile
+    (saves the separate XLA norm's [b,d] HBM round trip per layer)."""
     b, d = x.shape
     nq, nkv = num_heads * head_dim, num_kv_heads * head_dim
     assert wq.shape == (d, nq) and wk.shape == (d, nkv) and wv.shape == (d, nkv)
@@ -96,9 +108,18 @@ def decode_qkv(
     row = lambda v_: v_.reshape(1, -1)
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     grid = (b // block_m,)
+    if ln_scale is None:
+        kernel = lambda x_, c_, s_, *rest: _kernel(
+            x_, c_, s_, None, *rest, num_heads=num_heads,
+            num_kv_heads=num_kv_heads, head_dim=head_dim, eps=eps,
+        )
+        ln_specs, ln_args = [], ()
+    else:
+        kernel = partial(_kernel, num_heads=num_heads, num_kv_heads=num_kv_heads,
+                         head_dim=head_dim, eps=eps)
+        ln_specs, ln_args = [const((1, d))], (row(ln_scale),)
     out = pl.pallas_call(
-        partial(_kernel, num_heads=num_heads, num_kv_heads=num_kv_heads,
-                head_dim=head_dim),
+        kernel,
         out_shape=(
             jax.ShapeDtypeStruct((b, nq), x.dtype),
             jax.ShapeDtypeStruct((b, nkv), x.dtype),
@@ -109,6 +130,7 @@ def decode_qkv(
             pl.BlockSpec((block_m, d), lambda i: (i, 0)),  # x
             pl.BlockSpec((block_m, half), lambda i: (i, 0)),  # cos
             pl.BlockSpec((block_m, half), lambda i: (i, 0)),  # sin
+            *ln_specs,
             const((d, nq)), const((1, nq)),  # wq, bq (resident)
             const((d, nkv)), const((1, nkv)),  # wk, bk
             const((d, nkv)), const((1, nkv)),  # wv, bv
@@ -127,5 +149,5 @@ def decode_qkv(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, cos, sin, wq, row(bq), wk, row(bk), wv, row(bv))
+    )(x, cos, sin, *ln_args, wq, row(bq), wk, row(bk), wv, row(bv))
     return out

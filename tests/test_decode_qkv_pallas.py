@@ -46,3 +46,23 @@ def test_kernel_matches_unfused_qkv_rope():
         np.asarray(k), np.asarray(k_ref).reshape(b, nkv), atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(
         np.asarray(v), np.asarray(v_ref).reshape(b, nkv), atol=2e-4, rtol=2e-4)
+
+    # ln_scale variant: kernel folds the pre-attention rmsnorm in-VMEM —
+    # feeding it RAW x must match feeding it rmsnorm(x) without ln_scale
+    from affectgpt_tpu.models import nn
+
+    ln = {"scale": jnp.asarray(rng.randn(h).astype(np.float32) * 0.2 + 1.0)}
+    xn = nn.rmsnorm(ln, x, 1e-6)
+    q2, k2, v2 = decode_qkv(
+        xn, positions, wq, bq, wk, bk, wv, bv,
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, theta=cfg.rope_theta, interpret=True,
+    )
+    q3, k3, v3 = decode_qkv(
+        x, positions, wq, bq, wk, bk, wv, bv,
+        num_heads=cfg.num_heads, num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim, theta=cfg.rope_theta,
+        ln_scale=ln["scale"], eps=1e-6, interpret=True,
+    )
+    for a, ref in ((q3, q2), (k3, k2), (v3, v2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(ref), atol=2e-4, rtol=2e-4)
