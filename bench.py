@@ -123,6 +123,10 @@ def main():
         from affectgpt_tpu.models import qwen2 as _q
 
         _q.DECODE_QKV = os.environ["BENCH_DECODE_QKV"]
+    if os.environ.get("BENCH_DECODE_ATTN_O"):
+        from affectgpt_tpu.models import qwen2 as _q
+
+        _q.DECODE_ATTN_O = os.environ["BENCH_DECODE_ATTN_O"]
     if GEOMETRY == "7b":
         from affectgpt_tpu.models import qwen2
 
