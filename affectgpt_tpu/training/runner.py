@@ -127,9 +127,10 @@ class Runner:
         state = train_step.create_train_state(trainable, self.tx)
         self.state = train_step.shard_state(self.mesh, state)
         self.frozen = mesh_lib.shard_params(self.mesh, frozen)
+        remat_cfg = run.get("remat", False)  # False | True | "dots"
         self.step_fn = train_step.compile_train_step(
             self.mesh, model_cfg, self.tx, self.state, self.frozen,
-            remat=bool(run.get("remat", False)),
+            remat=remat_cfg if remat_cfg == "dots" else bool(remat_cfg),
         )
 
         if bool(run.get("smoke_check", True)):

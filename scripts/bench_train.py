@@ -33,7 +33,11 @@ SEQ_LEN = int(os.environ.get("TRAIN_BENCH_SEQ", 256))
 # b16 at seq 256 OOMs one v5e: the CE loss holds [b, t, vocab] fp32 logits
 # (+ grad) ≈ 2.5 GB each at b16 on top of the 6.8 GB frozen tree
 BATCHES = [int(b) for b in os.environ.get("TRAIN_BENCH_BATCH", "4,8").split(",")]
-REMAT = bool(int(os.environ.get("TRAIN_BENCH_REMAT", 1)))
+# "1" full per-layer remat | "0" none | "dots" save non-batched matmul
+# outputs (backward skips the layer-forward recompute; costs ~110 MB/layer
+# of saved activations at 3B b8 t256)
+_REMAT_ENV = os.environ.get("TRAIN_BENCH_REMAT", "1")
+REMAT = "dots" if _REMAT_ENV == "dots" else bool(int(_REMAT_ENV))
 
 
 def main():
