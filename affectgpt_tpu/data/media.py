@@ -13,6 +13,10 @@ and index selection; every pixel/sample transform happens on device
   the sampled frame indices), then decord, then OpenCV, then an `ffmpeg`
   binary, then `.npy` frame dumps (and, for faces, the OpenFace `.npy`
   crops the reference also uses). Codecs stay gated, never assumed.
+  `read_video_frames_device` additionally offers the device-decode
+  split: host entropy decode only, with dequant/iDCT/upsample/color on
+  the accelerator (ops/jpeg.py) — frames are born on device where
+  ops/image.py continues.
 - Preextracted features: `.npy` caches with the reference's directory
   contract `{root}/{dataset}/{modality}_{encoder}_{sampling}_{n}frms/{name}.npy`
   (reference: extract_multimodal_features_precompute.py:820-846).
@@ -176,6 +180,19 @@ def _native_video_reader():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.POINTER(ctypes.c_ubyte),
     ]
+    try:  # device-decode split (absent in a stale pre-built .so)
+        lib.videodec_probe_coeffs.restype = ctypes.c_int
+        lib.videodec_probe_coeffs.argtypes = (
+            [ctypes.c_char_p] + [ctypes.POINTER(ctypes.c_int)] * 4
+            + [ctypes.c_int * 6, ctypes.POINTER(ctypes.c_int)]
+        )
+        lib.videodec_read_coeffs.restype = ctypes.c_int
+        lib.videodec_read_coeffs.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint16),
+        ]
+    except AttributeError:
+        pass
     _NATIVE_VIDEO = lib
     return lib
 
@@ -239,6 +256,58 @@ def _read_video_cv2(video_path, n_frms, sampling_name, rng, au_info):
         return None
     last = by_index[max(by_index)]
     return np.stack([by_index.get(i, last) for i in full])
+
+
+def read_video_frames_device(
+    video_path: str,
+    n_frms: int = 8,
+    sampling_name: str = "uniform",
+    rng=None,
+    au_info: Optional[dict] = None,
+):
+    """Device-side decode split: the host C++ decoder entropy-decodes only
+    (videodec_read_coeffs) and the per-pixel back half — dequant, 8x8 iDCT
+    as one batched matmul, chroma upsampling, YCbCr→RGB — runs on the
+    accelerator (ops/jpeg.decode_mjpeg_frames). Returns a DEVICE uint8
+    array [T, H, W, 3] matching read_video_frames to ≤1 LSB, or None when
+    the container/codec is outside the MJPEG-AVI scope (callers fall back
+    to the host pixel ladder)."""
+    import ctypes
+
+    import jax.numpy as jnp
+
+    from affectgpt_tpu.ops import jpeg as jpeg_ops
+
+    lib = _native_video_reader()
+    if lib is None or not hasattr(lib, "videodec_read_coeffs"):
+        return None
+    nf = ctypes.c_int()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    ncomp, blocks = ctypes.c_int(), ctypes.c_int()
+    samp = (ctypes.c_int * 6)()
+    if lib.videodec_probe_coeffs(
+        video_path.encode(), ctypes.byref(nf), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(ncomp), samp, ctypes.byref(blocks),
+    ) != 0:
+        return None
+    indices = np.asarray(
+        _indices(nf.value, n_frms, sampling_name, rng, au_info), dtype=np.int32
+    )
+    coefs = np.empty((len(indices), blocks.value, 64), np.int16)
+    quants = np.empty((ncomp.value, 64), np.uint16)
+    if lib.videodec_read_coeffs(
+        video_path.encode(), indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(indices), coefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        quants.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+    ) != 0:
+        return None
+    sampling_static = tuple(
+        (samp[2 * c], samp[2 * c + 1]) for c in range(ncomp.value)
+    )
+    return jpeg_ops.decode_mjpeg_frames(
+        jnp.asarray(coefs), jnp.asarray(quants.astype(np.int32)),
+        width=w.value, height=h.value, sampling=sampling_static,
+    )
 
 
 def _try_decord():

@@ -314,9 +314,29 @@ struct JpegDecoder {
   JpegComponent comp[3];
   int ncomp = 0, width = 0, height = 0;
   int restart_interval = 0;
+  // coefficient-capture mode (device-side decode): entropy decode only,
+  // dequantized/iDCT'd on the TPU (ops/jpeg.py). Blocks land per
+  // component, row-major over the component's padded block grid, 64
+  // NATURAL-order (de-zigzagged) int16 coefficients each.
+  int16_t* coef_sink = nullptr;
+  bool headers_only = false;  // stop at SOS (geometry probe)
+  int mcux = 0, mcuy = 0;
 
   bool decode(const uint8_t* data, size_t size, std::vector<uint8_t>& rgb);
   bool decode_scan(const uint8_t* data, size_t size, size_t& pos);
+  // total coefficient blocks per frame across components (padded grids)
+  size_t total_blocks() const {
+    int hmax = 1, vmax = 1;
+    for (int c = 0; c < ncomp; c++) {
+      hmax = comp[c].h > hmax ? comp[c].h : hmax;
+      vmax = comp[c].v > vmax ? comp[c].v : vmax;
+    }
+    size_t mx = (size_t(width) + 8 * hmax - 1) / (8 * hmax);
+    size_t my = (size_t(height) + 8 * vmax - 1) / (8 * vmax);
+    size_t n = 0;
+    for (int c = 0; c < ncomp; c++) n += mx * comp[c].h * my * comp[c].v;
+    return n;
+  }
 };
 
 bool JpegDecoder::decode_scan(const uint8_t* data, size_t size, size_t& pos) {
@@ -342,13 +362,18 @@ bool JpegDecoder::decode_scan(const uint8_t* data, size_t size, size_t& pos) {
     hmax = comp[c].h > hmax ? comp[c].h : hmax;
     vmax = comp[c].v > vmax ? comp[c].v : vmax;
   }
-  int mcux = (width + 8 * hmax - 1) / (8 * hmax);
-  int mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+  mcux = (width + 8 * hmax - 1) / (8 * hmax);
+  mcuy = (height + 8 * vmax - 1) / (8 * vmax);
+  size_t comp_base[3] = {0, 0, 0};
   for (int c = 0; c < ncomp; c++) {
     comp[c].plane_w = mcux * comp[c].h * 8;
     comp[c].plane_h = mcuy * comp[c].v * 8;
-    comp[c].plane.assign(size_t(comp[c].plane_w) * comp[c].plane_h, 128);
+    if (coef_sink == nullptr)
+      comp[c].plane.assign(size_t(comp[c].plane_w) * comp[c].plane_h, 128);
     comp[c].dc_pred = 0;
+    if (c + 1 < ncomp)
+      comp_base[c + 1] = comp_base[c] +
+          size_t(mcux) * comp[c].h * size_t(mcuy) * comp[c].v;
   }
 
   BitReader br(data + pos, size - pos);
@@ -387,9 +412,20 @@ bool JpegDecoder::decode_scan(const uint8_t* data, size_t size, size_t& pos) {
                 k++;
               }
             }
-            int px = (mx * co.h + bx) * 8, py = (my * co.v + by) * 8;
-            idct8x8(coef, quant[co.tq],
-                    co.plane.data() + size_t(py) * co.plane_w + px, co.plane_w);
+            if (coef_sink) {
+              size_t row = size_t(my) * co.v + by;
+              size_t col = size_t(mx) * co.h + bx;
+              int16_t* dst = coef_sink +
+                  (comp_base[c] + row * (size_t(mcux) * co.h) + col) * 64;
+              for (int i = 0; i < 64; i++) {
+                int v2 = coef[i];
+                dst[i] = int16_t(v2 < -32768 ? -32768 : (v2 > 32767 ? 32767 : v2));
+              }
+            } else {
+              int px = (mx * co.h + bx) * 8, py = (my * co.v + by) * 8;
+              idct8x8(coef, quant[co.tq],
+                      co.plane.data() + size_t(py) * co.plane_w + px, co.plane_w);
+            }
           }
         }
       }
@@ -468,6 +504,7 @@ bool JpegDecoder::decode(const uint8_t* data, size_t size,
         break;
       case 0xDA: {  // SOS
         if (!have_sof) return false;
+        if (headers_only) return true;  // geometry probe: stop pre-scan
         // MJPEG may omit DHT: install Annex K defaults for missing tables
         if (!dc[0].valid) dc[0].build(kDcLumCounts, kDcLumVals, 12);
         if (!ac[0].valid) ac[0].build(kAcLumCounts, kAcLumVals, 162);
@@ -485,6 +522,7 @@ bool JpegDecoder::decode(const uint8_t* data, size_t size,
     pos += len;
   }
   if (!done_scan) return false;
+  if (coef_sink) return true;  // capture mode: pixels are made on-device
 
   // upsample + color convert
   rgb.resize(size_t(width) * height * 3);
@@ -605,6 +643,87 @@ int videodec_read(const char* path, const int* indices, int n,
     if (!decode_frame(buf, info, info.frames[size_t(idx)], info.width,
                       info.height, out + size_t(i) * frame_bytes))
       return 5;
+  }
+  return 0;
+}
+
+// --- device-side JPEG decode split -----------------------------------------
+// The host does the inherently-serial entropy decode only; dequantization,
+// iDCT, chroma upsampling and color conversion run on the TPU
+// (affectgpt_tpu/ops/jpeg.py). Coefficients are per component, row-major
+// over the component's padded block grid, 64 natural-order int16 each.
+
+// Probe frame 0's JPEG geometry. sampling: h0,v0,h1,v1,h2,v2 (0 for absent
+// components). Returns 0 on success; nonzero → caller uses the pixel path.
+int videodec_probe_coeffs(const char* path, int* n_frames, int* width,
+                          int* height, int* ncomp, int* sampling,
+                          int* blocks_per_frame) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return 1;
+  AviInfo info;
+  if (!parse_avi(buf, info)) return 2;
+  if (!is_mjpeg(info.compression)) return 3;  // coeff split is JPEG-only
+  JpegDecoder dec;
+  dec.headers_only = true;
+  std::vector<uint8_t> unused;
+  const AviIndexEntry& e = info.frames[0];
+  if (!dec.decode(buf.data() + e.offset, e.size, unused)) return 5;
+  *n_frames = int(info.frames.size());
+  *width = dec.width;
+  *height = dec.height;
+  *ncomp = dec.ncomp;
+  for (int c = 0; c < 3; c++) {
+    sampling[2 * c] = c < dec.ncomp ? dec.comp[c].h : 0;
+    sampling[2 * c + 1] = c < dec.ncomp ? dec.comp[c].v : 0;
+  }
+  *blocks_per_frame = int(dec.total_blocks());
+  return 0;
+}
+
+// Entropy-decode the requested frames into out_coef
+// [n, blocks_per_frame, 64] int16 and write the per-component dequant
+// tables (natural order) into out_quant [ncomp, 64]. All frames must share
+// frame 0's geometry (our MJPEG-AVI ingest transcode guarantees this).
+int videodec_read_coeffs(const char* path, const int* indices, int n,
+                         int16_t* out_coef, uint16_t* out_quant) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return 1;
+  AviInfo info;
+  if (!parse_avi(buf, info)) return 2;
+  if (!is_mjpeg(info.compression)) return 3;
+  size_t blocks = 0;
+  int ref_w = 0, ref_h = 0, ref_samp[6] = {0};
+  for (int i = 0; i < n; i++) {
+    int idx = indices[i];
+    if (idx < 0 || size_t(idx) >= info.frames.size()) return 4;
+    const AviIndexEntry& e = info.frames[size_t(idx)];
+    JpegDecoder dec;
+    std::vector<uint8_t> unused;
+    if (i == 0) {
+      // size the sink from this frame's geometry
+      dec.headers_only = true;
+      if (!dec.decode(buf.data() + e.offset, e.size, unused)) return 5;
+      blocks = dec.total_blocks();
+      ref_w = dec.width;
+      ref_h = dec.height;
+      for (int c = 0; c < dec.ncomp; c++) {
+        ref_samp[2 * c] = dec.comp[c].h;
+        ref_samp[2 * c + 1] = dec.comp[c].v;
+      }
+      dec = JpegDecoder();
+    }
+    dec.coef_sink = out_coef + size_t(i) * blocks * 64;
+    std::memset(dec.coef_sink, 0, blocks * 64 * sizeof(int16_t));
+    if (!dec.decode(buf.data() + e.offset, e.size, unused)) return 5;
+    if (dec.width != ref_w || dec.height != ref_h) return 6;
+    for (int c = 0; c < dec.ncomp; c++)
+      if (dec.comp[c].h != ref_samp[2 * c] || dec.comp[c].v != ref_samp[2 * c + 1])
+        return 6;
+    if (i == 0) {
+      for (int c = 0; c < dec.ncomp; c++)
+        std::memcpy(out_quant + size_t(c) * 64, dec.quant[dec.comp[c].tq],
+                    64 * sizeof(uint16_t));
+    }
   }
   return 0;
 }
