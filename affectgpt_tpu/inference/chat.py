@@ -88,6 +88,13 @@ class Chat:
             raise ValueError(
                 f"kv_cache_dtype must be None or 'int8', got {self.kv_cache_dtype!r}"
             )
+        if self.mesh is not None:
+            # sharded trees serve through plain jit (GSPMD): the fused
+            # decode Pallas kernels have no partitioning rule and would
+            # force operand replication — gate them off for this process
+            from affectgpt_tpu.models import qwen2 as _q
+
+            _q.TP_SERVING = True
 
     def build_prompt_batch(
         self,

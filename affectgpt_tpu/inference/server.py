@@ -189,6 +189,9 @@ class BatchServer:
             tp = mesh.shape.get("tp", 1)
             kv_axis = "tp" if cfg.llm.num_kv_heads % max(tp, 1) == 0 else None
             self._cache_sharding = NamedSharding(mesh, P(None, kv_axis, None, None))
+            from affectgpt_tpu.models import qwen2 as _q
+
+            _q.TP_SERVING = True  # Pallas decode kernels have no GSPMD rule
         else:
             self._cache_sharding = None
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg

@@ -437,12 +437,23 @@ DECODE_QKV = "auto"
 DECODE_ATTN_O = "xla"
 
 
+# Set by the tp>1 serving constructors (BatchServer/PagedBatchServer/Chat
+# with a mesh): the fused decode Pallas kernels carry no GSPMD partitioning
+# rule, so under a sharded jit XLA would REPLICATE their operands — a
+# per-layer weight all-gather every decode step. Trace-time flag; single-
+# chip serving (the only configuration measurable in this environment)
+# is unaffected.
+TP_SERVING = False
+
+
 def _decode_kernel_backend_ok() -> bool:
     """Fused decode kernels run on TPU; AFFECTGPT_DECODE_KERNEL_INTERPRET=1
     additionally enables them in Pallas interpret mode off-TPU so the
     dispatch wiring (incl. the paged engine's) is testable on CPU."""
     import os
 
+    if TP_SERVING:
+        return False
     if jax.default_backend() == "tpu":
         return True
     return os.environ.get("AFFECTGPT_DECODE_KERNEL_INTERPRET", "0") == "1"

@@ -29,3 +29,16 @@ def eight_devices():
     devices = jax.devices()
     assert len(devices) == 8, f"expected 8 virtual devices, got {len(devices)}"
     return devices
+
+
+@pytest.fixture(autouse=True)
+def _reset_tp_serving():
+    """qwen2.TP_SERVING is a sticky process-global set by mesh-sharded
+    engine constructors (Pallas decode kernels have no GSPMD rule); reset
+    it per test so a sharded-engine test cannot disable the fused-kernel
+    paths for tests that run after it."""
+    from affectgpt_tpu.models import qwen2
+
+    qwen2.TP_SERVING = False
+    yield
+    qwen2.TP_SERVING = False

@@ -127,3 +127,22 @@ def test_dp_tp_sharded_generate_matches_replicated(eight_devices):
     )
     np.testing.assert_array_equal(np.asarray(ref_tokens), np.asarray(dp_tokens))
     np.testing.assert_array_equal(np.asarray(ref_valid), np.asarray(dp_valid))
+
+
+def test_mesh_engines_disable_fused_decode_kernels(eight_devices, monkeypatch):
+    """A mesh-sharded engine must flip qwen2.TP_SERVING: the fused decode
+    Pallas kernels carry no GSPMD partitioning rule, so under a sharded jit
+    XLA would replicate their operands (per-layer weight all-gathers)."""
+    from affectgpt_tpu.inference.server import BatchServer
+    from affectgpt_tpu.models import qwen2
+    from affectgpt_tpu.tokenization import ByteTokenizer
+
+    monkeypatch.setenv("AFFECTGPT_DECODE_KERNEL_INTERPRET", "1")
+    cfg = affectgpt.AffectGPTConfig.tiny()
+    frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg)
+    assert qwen2._decode_kernel_backend_ok()  # interpret mode: kernels on
+    mesh = mesh_lib.create_mesh(eight_devices[:2], tp=2)
+    BatchServer(frozen, trainable, cfg, ByteTokenizer(), max_slots=2,
+                max_len=64, mesh=mesh)
+    assert qwen2.TP_SERVING and not qwen2._decode_kernel_backend_ok()
