@@ -16,7 +16,8 @@ Run: python scripts/bench_paged.py
 Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
      PAGED_DENSE_BATCH (256), PAGED_BURST (8), PAGED_BLOCK (16),
      PAGED_GEOMETRY=7b + PAGED_BITS (8) for the int8 flagship geometry
-     (LoRA unmerged — quantized weights can't absorb the merge).
+     (LoRA unmerged — quantized weights can't absorb the merge),
+     PAGED_KV=int8 for quantized pools (2× tokens-in-flight per HBM byte).
 """
 
 from __future__ import annotations
@@ -112,9 +113,13 @@ def main():
         num_blocks=SLOTS * (-(-max_tokens // block)) + 64,
         max_blocks_per_seq=-(-max_tokens // block),
     )
+    pool_dtype = (
+        jnp.int8 if os.environ.get("PAGED_KV") == "int8"
+        else frozen["llm"]["embed_tokens"]["table"].dtype
+    )
     server = PagedBatchServer(
         frozen, trainable, cfg, _Tok(), pcfg=pcfg, max_slots=SLOTS,
-        dtype=frozen["llm"]["embed_tokens"]["table"].dtype, do_sample=False,
+        dtype=pool_dtype, do_sample=False,
         decode_burst=BURST,
     )
     feats_np = {m: np.asarray(v) for m, v in feats.items()}
