@@ -160,15 +160,32 @@ class AffectGPTConfig:
 
 MODALITIES = ("frame", "face", "audio", "image", "au")
 
+# modality → merger parameter group: frame and face streams run through ONE
+# shared video merger, exactly like the reference (affectgpt.py:929-932 uses
+# the same video_attention_mlp/affectgpt_proj for both) — training must
+# accumulate both streams' gradients into the same weights
+# (tests/test_reference_oracle.py::test_gradient_parity).
+MERGER_GROUP = {
+    "frame": "video", "face": "video",
+    "audio": "audio", "image": "image", "au": "au",
+}
+_GROUPS = ("video", "audio", "image", "au")
+# a representative modality per group for merger_config()
+_GROUP_CFG_MODALITY = {
+    "video": "frame", "audio": "audio", "image": "image", "au": "au",
+}
+
 
 def init_trainable(rng: jax.Array, cfg: AffectGPTConfig, dtype=jnp.float32) -> dict:
     """LoRA + mergers + projections — everything the optimizer touches
     (the reference's requires_grad=True set)."""
-    keys = jax.random.split(rng, len(MODALITIES) + 2)
+    keys = jax.random.split(rng, len(_GROUPS) + 2)
     params: dict = {
         "mergers": {
-            m: mergers.init_merger(keys[i], cfg.merger_config(m), dtype=dtype)
-            for i, m in enumerate(MODALITIES)
+            g: mergers.init_merger(
+                keys[i], cfg.merger_config(_GROUP_CFG_MODALITY[g]), dtype=dtype
+            )
+            for i, g in enumerate(_GROUPS)
         },
         "lora": qwen2.init_lora(keys[-2], cfg.llm, dtype=dtype),
     }
@@ -212,7 +229,8 @@ def encode_modalities(
     for m in MODALITIES:
         if m in features:
             blocks[m] = mergers.apply_merger(
-                trainable["mergers"][m], cfg.merger_config(m), features[m]
+                trainable["mergers"][MERGER_GROUP[m]], cfg.merger_config(m),
+                features[m],
             )
     if cfg.use_multi and "multi" in trainable and "audio" in features:
         video_hidden = features.get("face", features.get("frame"))

@@ -497,9 +497,9 @@ def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32
     - `llama_model.base_model.model.model.*`   → frozen llm decoder
     - `llama_model.base_model.model.lm_head.*` → frozen llm lm_head
     - `...<proj>.lora_A/lora_B.default.weight` → trainable lora (a = Aᵀ, b = Bᵀ)
-    - `video_attention_mlp` + `affectgpt_proj` → frame AND face mergers (the
-      reference shares one video merger across both streams,
-      affectgpt.py:929-932)
+    - `video_attention_mlp` + `affectgpt_proj` → the SHARED video merger
+      (serving both frame and face streams, like the reference —
+      affectgpt.py:929-932; affectgpt.MERGER_GROUP routes both to it)
     - `audio_attention_mlp` + `audio_llama_proj` → audio merger
     - `image_llama_proj` / `au_llama_proj` → image / au mergers (mean fusion)
     - `multi_video_embs`/`multi_audio_embs`/`attention_mlp`/`fc_att`/
@@ -584,8 +584,10 @@ def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32
     if "au_attention_mlp.weight" in state:
         au_merger["attn_mlp"] = plain_dense("au_attention_mlp")
     mergers = {
-        "frame": video_merger,
-        "face": {k: dict(v) for k, v in video_merger.items()},
+        # ONE video merger shared by the frame and face streams, exactly the
+        # reference's parameter set (affectgpt.py:929-932) — see
+        # affectgpt.MERGER_GROUP
+        "video": video_merger,
         "audio": audio_merger,
         "image": {"proj": plain_dense("image_llama_proj")},
         "au": au_merger,

@@ -92,7 +92,7 @@ def freeze_mask_from_flags(trainable, model_cfg_node: dict):
         elif key == "mergers":
             mask[key] = {}
             for m, msub in sub.items():
-                if m in ("frame", "face", "image"):
+                if m in ("video", "image"):
                     frozen = flags.get("frozen_video_Qformer", False) and flags.get(
                         "frozen_video_proj", False
                     )

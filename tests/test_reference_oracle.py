@@ -308,3 +308,51 @@ def test_forward_loss_parity_single_step_frame(oracle):
         affectgpt.forward_loss(frozen, trainable, cfg, _our_batch(ids, attn, labels, feats, offs))
     )
     assert abs(ref_loss - our_loss) < 1e-3, (ref_loss, our_loss)
+
+
+def test_gradient_parity(oracle):
+    """Backward parity: torch autograd through the reference's assembled
+    forward vs jax.grad of forward_loss, compared on EVERY trainable leaf
+    (LoRA A/B, attention-merger MLPs, pre-fusion gate, projections) by
+    mapping the torch grads through the same converter re-layout as the
+    params (the converter only transposes/reshapes, which commutes with
+    differentiation). Extends the loss/token oracle to training dynamics."""
+    import torch as _torch
+
+    ref_model, tree, cfg = oracle
+    rng = np.random.default_rng(17)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+
+    ref_model.zero_grad(set_to_none=True)
+    loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"]
+    loss.backward()
+    grads_sd = {}
+    params = dict(ref_model.named_parameters())
+    for name, value in ref_model.state_dict().items():
+        p = params.get(name)
+        g = p.grad if (p is not None and p.grad is not None) else None
+        grads_sd[name] = g if g is not None else _torch.zeros_like(value)
+    ref_gtrain = convert.convert_reference_affectgpt(grads_sd)["trainable"]
+
+    frozen = {"llm": jax.tree.map(jnp.asarray, tree["frozen"]["llm"])}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    batch = _our_batch(ids, attn, labels, feats, offs)
+    ours_g = jax.grad(
+        lambda tr: affectgpt.forward_loss(frozen, tr, cfg, batch)
+    )(trainable)
+
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_gtrain)[0]
+    ours_flat = dict(jax.tree_util.tree_flatten_with_path(ours_g)[0])
+    compared = 0
+    for path, ref_leaf in ref_leaves:
+        ours_leaf = ours_flat.get(path)
+        if ours_leaf is None:
+            continue  # structure-only entries absent from our trainable
+        np.testing.assert_allclose(
+            np.asarray(ours_leaf), np.asarray(ref_leaf),
+            rtol=2e-3, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+        compared += 1
+    # every lora layer (7 proj x 2 mats x 2 layers) plus merger/proj leaves
+    assert compared >= 30, compared
