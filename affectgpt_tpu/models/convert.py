@@ -574,15 +574,73 @@ def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32
             out["b"] = state[f"{name}.bias"]
         return out
 
-    video_merger = {"proj": plain_dense("affectgpt_proj")}
-    if "video_attention_mlp.weight" in state:
-        video_merger["attn_mlp"] = plain_dense("video_attention_mlp")
-    audio_merger = {"proj": plain_dense("audio_llama_proj")}
-    if "audio_attention_mlp.weight" in state:
-        audio_merger["attn_mlp"] = plain_dense("audio_attention_mlp")
-    au_merger = {"proj": plain_dense("au_llama_proj")}
-    if "au_attention_mlp.weight" in state:
-        au_merger["attn_mlp"] = plain_dense("au_attention_mlp")
+    def ref_qformer(prefix, query_key):
+        """Reference temporal Q-Former (Qformer.py BertLMHeadModel, query
+        path only: affectgpt.py:24-37 deletes cls/word/pos embeddings) →
+        qformer.init_params structure. Query-path FFN weights are the
+        `intermediate_query`/`output_query` modules (Qformer.py:482-485);
+        the text-path `intermediate`/`output` twins are never used here."""
+        def ln(p):
+            return {"scale": state[f"{p}.weight"], "bias": state[f"{p}.bias"]}
+
+        qlayers = []
+        j = 0
+        while f"{prefix}.bert.encoder.layer.{j}.attention.self.query.weight" in state:
+            p = f"{prefix}.bert.encoder.layer.{j}"
+            qlayer = {
+                "self_attn": {
+                    "q": plain_dense(f"{p}.attention.self.query"),
+                    "k": plain_dense(f"{p}.attention.self.key"),
+                    "v": plain_dense(f"{p}.attention.self.value"),
+                    "o": plain_dense(f"{p}.attention.output.dense"),
+                },
+                "self_ln": ln(f"{p}.attention.output.LayerNorm"),
+                "ffn_in": plain_dense(f"{p}.intermediate_query.dense"),
+                "ffn_out": plain_dense(f"{p}.output_query.dense"),
+                "ffn_ln": ln(f"{p}.output_query.LayerNorm"),
+            }
+            if f"{p}.crossattention.self.query.weight" in state:
+                qlayer["cross_attn"] = {
+                    "q": plain_dense(f"{p}.crossattention.self.query"),
+                    "k": plain_dense(f"{p}.crossattention.self.key"),
+                    "v": plain_dense(f"{p}.crossattention.self.value"),
+                    "o": plain_dense(f"{p}.crossattention.output.dense"),
+                }
+                qlayer["cross_ln"] = ln(f"{p}.crossattention.output.LayerNorm")
+            qlayers.append(qlayer)
+            j += 1
+        return {
+            "query_tokens": state[query_key],
+            "embed_ln": ln(f"{prefix}.bert.embeddings.LayerNorm"),
+            "layers": qlayers,
+        }
+
+    def merger_for(qformer_prefix, query_key, pos_key, attn_mlp_name, proj_name):
+        if f"{qformer_prefix}.bert.embeddings.LayerNorm.weight" in state:
+            return {
+                "pos_embed": {"table": state[pos_key]},
+                "qformer": ref_qformer(qformer_prefix, query_key),
+                "proj": plain_dense(proj_name),
+            }
+        out = {"proj": plain_dense(proj_name)}
+        if f"{attn_mlp_name}.weight" in state:
+            out["attn_mlp"] = plain_dense(attn_mlp_name)
+        return out
+
+    video_merger = merger_for(
+        "video_Qformer", "video_query_tokens",
+        "video_frame_position_embedding.weight",
+        "video_attention_mlp", "affectgpt_proj",
+    )
+    audio_merger = merger_for(
+        "audio_Qformer", "audio_query_tokens",
+        "audio_position_embedding.weight",
+        "audio_attention_mlp", "audio_llama_proj",
+    )
+    au_merger = merger_for(
+        "au_Qformer", "au_query_tokens", "au_position_embedding.weight",
+        "au_attention_mlp", "au_llama_proj",
+    )
     mergers = {
         # ONE video merger shared by the frame and face streams, exactly the
         # reference's parameter set (affectgpt.py:929-932) — see

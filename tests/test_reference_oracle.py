@@ -60,7 +60,7 @@ class _DummyTokenizer:
         return dict(PATCH)
 
 
-def _build_reference_model():
+def _build_reference_model(fusion: str = "attention"):
     from tests import refstubs
 
     refstubs.install()
@@ -81,8 +81,14 @@ def _build_reference_model():
 
         saved_tok = ref_mod.load_tokenizer_from_LLM
         saved_fp = ref_mod.AutoModelForCausalLM.from_pretrained
+        saved_bert_fp = ref_mod.BertConfig.from_pretrained
         ref_mod.load_tokenizer_from_LLM = lambda name: _DummyTokenizer()
         ref_mod.AutoModelForCausalLM.from_pretrained = staticmethod(fake_from_pretrained)
+        # qformer fusion reads models/bert-base-uncased from disk
+        # (affectgpt.py:25); defaults ARE the bert-base geometry
+        ref_mod.BertConfig.from_pretrained = classmethod(
+            lambda cls, path, **kw: cls()
+        )
         # skip_encoders mode reads these via getattr (affectgpt.py:148,216)
         ref_mod.AffectGPT.preextracted_visual_dim = VIS_DIM
         ref_mod.AffectGPT.preextracted_acoustic_dim = AC_DIM
@@ -100,14 +106,15 @@ def _build_reference_model():
                 num_image_query_token=2, num_au_query_token=2,
                 frozen_multi_Qformer=False, frozen_multi_llama_proj=False,
                 frozen_au_proj=False,
-                multi_fusion_type="attention", video_fusion_type="attention",
-                audio_fusion_type="attention", image_fusion_type="mean",
+                multi_fusion_type="attention", video_fusion_type=fusion,
+                audio_fusion_type=fusion, image_fusion_type="mean",
                 au_fusion_type="mean",
                 skip_encoders=True,
             )
         finally:
             ref_mod.load_tokenizer_from_LLM = saved_tok
             ref_mod.AutoModelForCausalLM.from_pretrained = saved_fp
+            ref_mod.BertConfig.from_pretrained = saved_bert_fp
     finally:
         refstubs.remove_path()
     model = model.float().eval()
@@ -356,3 +363,89 @@ def test_gradient_parity(oracle):
         compared += 1
     # every lora layer (7 proj x 2 mats x 2 layers) plus merger/proj leaves
     assert compared >= 30, compared
+
+
+@pytest.fixture(scope="module")
+def oracle_qformer():
+    """Reference built with video/audio_fusion_type='qformer' (the BLIP2
+    BertLMHeadModel temporal Q-Formers, bert-base geometry) — exercises the
+    converter's Q-Former mapping end to end."""
+    ref_model = _build_reference_model(fusion="qformer")
+    tree = convert.convert_reference_affectgpt(ref_model.state_dict())
+    from dataclasses import replace
+
+    llm_cfg = replace(qwen2.QwenConfig.tiny(lora_r=2), lora_alpha=32.0)
+    cfg = replace(
+        affectgpt.AffectGPTConfig.tiny(),
+        llm=llm_cfg, visual_dim=VIS_DIM, acoustic_dim=AC_DIM,
+        video_fusion_type="qformer", audio_fusion_type="qformer",
+    )
+    return ref_model, tree, cfg
+
+
+def test_qformer_fusion_loss_parity(oracle_qformer):
+    """Assembled-model loss with Q-FORMER fusion mergers: position
+    embedding + 2-layer cross-attending Q-Former + projection
+    (affectgpt.py:563-582 preextracted path) vs our mergers' qformer
+    branch through the new converter mapping."""
+    ref_model, tree, cfg = oracle_qformer
+    rng = np.random.default_rng(23)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+
+    with torch.no_grad():
+        ref_loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"].item()
+
+    frozen = {"llm": jax.tree.map(jnp.asarray, tree["frozen"]["llm"])}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    our_loss = float(
+        affectgpt.forward_loss(
+            frozen, trainable, cfg, _our_batch(ids, attn, labels, feats, offs)
+        )
+    )
+    assert np.isfinite(ref_loss) and np.isfinite(our_loss)
+    assert abs(ref_loss - our_loss) < 1e-3, (ref_loss, our_loss)
+
+
+def test_qformer_fusion_gradient_parity(oracle_qformer):
+    """Per-leaf grads through the Q-Former mergers (query tokens, embed LN,
+    self/cross attention, query-path FFN, position embedding) vs torch
+    autograd — the unused text-path FFN twins have no counterpart and are
+    skipped by the path intersection."""
+    import torch as _torch
+
+    ref_model, tree, cfg = oracle_qformer
+    rng = np.random.default_rng(29)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+
+    ref_model.zero_grad(set_to_none=True)
+    loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"]
+    loss.backward()
+    params = dict(ref_model.named_parameters())
+    grads_sd = {}
+    for name, value in ref_model.state_dict().items():
+        p = params.get(name)
+        g = p.grad if (p is not None and p.grad is not None) else None
+        grads_sd[name] = g if g is not None else _torch.zeros_like(value)
+    ref_gtrain = convert.convert_reference_affectgpt(grads_sd)["trainable"]
+
+    frozen = {"llm": jax.tree.map(jnp.asarray, tree["frozen"]["llm"])}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    batch = _our_batch(ids, attn, labels, feats, offs)
+    ours_g = jax.grad(
+        lambda tr: affectgpt.forward_loss(frozen, tr, cfg, batch)
+    )(trainable)
+
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_gtrain)[0]
+    ours_flat = dict(jax.tree_util.tree_flatten_with_path(ours_g)[0])
+    compared = 0
+    for path, ref_leaf in ref_leaves:
+        ours_leaf = ours_flat.get(path)
+        if ours_leaf is None:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(ours_leaf), np.asarray(ref_leaf),
+            rtol=2e-3, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+        compared += 1
+    assert compared >= 60, compared  # lora + qformer layers + projections
