@@ -506,8 +506,10 @@ def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32
       `multi_llama_proj` → multi pre-fusion (attention variant,
       affectgpt.py:883-908)
 
-    Q-Former fusion variants are not mapped here (tower-level parity is
-    covered by the dedicated Q-Former converter/tests)."""
+    Q-Former fusion variants map through ref_qformer (the BLIP2
+    BertLMHeadModel query path) for every group incl. the multi
+    pre-fusion; parity for both fusion families is asserted end to end by
+    tests/test_reference_oracle.py."""
     import torch
 
     state = {
@@ -658,7 +660,12 @@ def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32
             "audio_embs": plain_dense("multi_audio_embs"),
             "proj": plain_dense("multi_llama_proj"),
         }
-        if "attention_mlp.weight" in state:
+        if "multi_Qformer.bert.embeddings.LayerNorm.weight" in state:
+            # qformer pre-fusion (affectgpt.py:848-881): projected streams
+            # concat along time + position embedding + multi Q-Former
+            multi["pos_embed"] = {"table": state["multi_position_embedding.weight"]}
+            multi["qformer"] = ref_qformer("multi_Qformer", "multi_query_tokens")
+        elif "attention_mlp.weight" in state:
             multi["attn_mlp"] = plain_dense("attention_mlp")
             multi["fc_att"] = plain_dense("fc_att")
         trainable["multi"] = multi

@@ -106,7 +106,7 @@ def _build_reference_model(fusion: str = "attention"):
                 num_image_query_token=2, num_au_query_token=2,
                 frozen_multi_Qformer=False, frozen_multi_llama_proj=False,
                 frozen_au_proj=False,
-                multi_fusion_type="attention", video_fusion_type=fusion,
+                multi_fusion_type=fusion, video_fusion_type=fusion,
                 audio_fusion_type=fusion, image_fusion_type="mean",
                 au_fusion_type="mean",
                 skip_encoders=True,
@@ -367,9 +367,10 @@ def test_gradient_parity(oracle):
 
 @pytest.fixture(scope="module")
 def oracle_qformer():
-    """Reference built with video/audio_fusion_type='qformer' (the BLIP2
-    BertLMHeadModel temporal Q-Formers, bert-base geometry) — exercises the
-    converter's Q-Former mapping end to end."""
+    """Reference built with video/audio/multi_fusion_type='qformer' (the
+    BLIP2 BertLMHeadModel temporal Q-Formers, bert-base geometry) —
+    exercises the converter's Q-Former mapping end to end, incl. the multi
+    pre-fusion Q-Former (affectgpt.py:848-881)."""
     ref_model = _build_reference_model(fusion="qformer")
     tree = convert.convert_reference_affectgpt(ref_model.state_dict())
     from dataclasses import replace
@@ -379,6 +380,7 @@ def oracle_qformer():
         affectgpt.AffectGPTConfig.tiny(),
         llm=llm_cfg, visual_dim=VIS_DIM, acoustic_dim=AC_DIM,
         video_fusion_type="qformer", audio_fusion_type="qformer",
+        multi_fusion_type="qformer",
     )
     return ref_model, tree, cfg
 
