@@ -64,7 +64,7 @@ def convert_qwen2(model_dir: str, dtype=np.float32) -> dict:
     def cast(tree):
         import jax
 
-        return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), tree)
+        return jax.tree.map(lambda x: np.array(x, dtype=dtype), tree)
 
     layers = []
     i = 0
@@ -118,7 +118,7 @@ def convert_baichuan2(model_dir: str, dtype=np.float32) -> dict:
     def cast(tree):
         import jax
 
-        return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), tree)
+        return jax.tree.map(lambda x: np.array(x, dtype=dtype), tree)
 
     layers = []
     i = 0
@@ -222,7 +222,7 @@ def convert_clip_vision(model_dir: str, dtype=np.float32) -> dict:
         "post_ln": _ln(state, f"{pre}.post_layernorm"),
         "proj": {"w": np.ascontiguousarray(state["visual_projection.weight"].T)},
     }
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), params)
 
 
 def convert_clip_text(model_dir: str, dtype=np.float32) -> dict:
@@ -258,7 +258,7 @@ def convert_clip_text(model_dir: str, dtype=np.float32) -> dict:
         "final_ln": _ln(state, f"{pre}.final_layer_norm"),
         "proj": {"w": np.ascontiguousarray(state["text_projection.weight"].T)},
     }
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), params)
 
 
 def convert_wavlm(model_dir: str, dtype=np.float32) -> dict:
@@ -330,7 +330,7 @@ def convert_data2vec_audio(model_dir: str, dtype=np.float32) -> dict:
         "encoder_ln": _ln(state, "encoder.layer_norm"),
         "layers": [layer(i) for i in range(n_layers)],
     }
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), params)
 
 
 def convert_dinov2(model_dir: str, dtype=np.float32) -> dict:
@@ -372,7 +372,7 @@ def convert_dinov2(model_dir: str, dtype=np.float32) -> dict:
         "blocks": [block(i) for i in range(n_layers)],
         "final_ln": _ln(state, "layernorm"),
     }
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), params)
 
 
 def convert_siglip_vision(model_dir: str, dtype=np.float32) -> dict:
@@ -415,7 +415,7 @@ def convert_siglip_vision(model_dir: str, dtype=np.float32) -> dict:
         "blocks": [block(i) for i in range(n_layers)],
         "post_ln": _ln(state, key("post_layernorm")),
     }
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), params)
 
 
 def convert_hubert(model_dir: str, dtype=np.float32) -> dict:
@@ -481,7 +481,7 @@ def convert_hubert(model_dir: str, dtype=np.float32) -> dict:
         "layers": [layer(i) for i in range(n_layers)],
         "final_ln": _ln(state, "encoder.layer_norm"),
     }
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), params)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), params)
 
 
 # ---------------------------------------------------------------------------
@@ -673,4 +673,4 @@ def convert_reference_affectgpt(state: Dict[str, "np.ndarray"], dtype=np.float32
     import jax
 
     tree = {"frozen": {"llm": llm}, "trainable": trainable}
-    return jax.tree.map(lambda x: np.asarray(x, dtype=dtype), tree)
+    return jax.tree.map(lambda x: np.array(x, dtype=dtype), tree)

@@ -451,3 +451,85 @@ def test_qformer_fusion_gradient_parity(oracle_qformer):
         )
         compared += 1
     assert compared >= 60, compared  # lora + qformer layers + projections
+
+
+def test_optimizer_step_parity():
+    """One AdamW step: torch.optim.AdamW with the reference runner's
+    param grouping (runner_base.py:124-137 — ndim<2 / bias / ln / bn get
+    weight_decay 0) vs optax.adamw with training/optim._no_decay_mask,
+    compared per updated trainable leaf through the converter. With
+    gradient parity already asserted, this pins the full training update:
+    init → grad → decay grouping → AdamW math."""
+    import torch as _torch
+
+    import optax
+    from affectgpt_tpu.training import optim as optim_mod
+
+    ref_model = _build_reference_model()  # fresh: the step mutates params
+    tree = convert.convert_reference_affectgpt(ref_model.state_dict())
+    from dataclasses import replace
+
+    llm_cfg = replace(qwen2.QwenConfig.tiny(lora_r=2), lora_alpha=32.0)
+    cfg = replace(
+        affectgpt.AffectGPTConfig.tiny(),
+        llm=llm_cfg, visual_dim=VIS_DIM, acoustic_dim=AC_DIM,
+    )
+    rng = np.random.default_rng(31)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+
+    lr, wd = 1e-3, 0.05
+    p_wd, p_non_wd = [], []
+    for n, p in ref_model.named_parameters():
+        if not p.requires_grad:
+            continue
+        (p_non_wd if p.ndim < 2 or "bias" in n or "ln" in n or "bn" in n
+         else p_wd).append(p)
+    opt = _torch.optim.AdamW(
+        [{"params": p_wd, "weight_decay": wd},
+         {"params": p_non_wd, "weight_decay": 0.0}],
+        lr=lr, betas=(0.9, 0.999), eps=1e-8,
+    )
+    loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"]
+    opt.zero_grad()
+    loss.backward()
+    # keep the ref grads: at step 1 AdamW's update is ~lr*sign(grad), so
+    # elements with |grad| ~ 0 flip sign on sub-tolerance grad noise —
+    # compare only where the gradient is meaningfully nonzero
+    params = dict(ref_model.named_parameters())
+    grads_sd = {}
+    for name, value in ref_model.state_dict().items():
+        p = params.get(name)
+        g = p.grad if (p is not None and p.grad is not None) else None
+        grads_sd[name] = g if g is not None else _torch.zeros_like(value)
+    ref_g = convert.convert_reference_affectgpt(grads_sd)["trainable"]
+    opt.step()
+    ref_after = convert.convert_reference_affectgpt(ref_model.state_dict())["trainable"]
+
+    frozen = {"llm": jax.tree.map(jnp.asarray, tree["frozen"]["llm"])}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    batch = _our_batch(ids, attn, labels, feats, offs)
+    grads = jax.grad(
+        lambda tr: affectgpt.forward_loss(frozen, tr, cfg, batch)
+    )(trainable)
+    tx = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8, weight_decay=wd,
+                     mask=optim_mod._no_decay_mask)
+    updates, _ = tx.update(grads, tx.init(trainable), trainable)
+    ours_after = optax.apply_updates(trainable, updates)
+
+    ref_leaves = jax.tree_util.tree_flatten_with_path(ref_after)[0]
+    ref_g_flat = dict(jax.tree_util.tree_flatten_with_path(ref_g)[0])
+    ours_flat = dict(jax.tree_util.tree_flatten_with_path(ours_after)[0])
+    compared = 0
+    for path, ref_leaf in ref_leaves:
+        ours_leaf = ours_flat.get(path)
+        if ours_leaf is None:
+            continue
+        live = np.abs(np.asarray(ref_g_flat[path])) > 1e-4
+        a = np.where(live, np.asarray(ours_leaf), 0.0)
+        b2 = np.where(live, np.asarray(ref_leaf), 0.0)
+        np.testing.assert_allclose(
+            a, b2, rtol=2e-3, atol=2e-5,
+            err_msg=f"post-step mismatch at {jax.tree_util.keystr(path)}",
+        )
+        compared += 1
+    assert compared >= 30, compared
