@@ -94,7 +94,7 @@ class Chat:
             # force operand replication — gate them off for this process
             from affectgpt_tpu.models import qwen2 as _q
 
-            _q.TP_SERVING = True
+            _q.mark_tp_serving()
 
     def build_prompt_batch(
         self,

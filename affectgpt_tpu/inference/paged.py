@@ -391,7 +391,7 @@ class PagedBatchServer:
             self._pool_sharding = NamedSharding(mesh, P(None, None, kv_axis, None))
             from affectgpt_tpu.models import qwen2 as _q
 
-            _q.TP_SERVING = True  # Pallas decode kernels have no GSPMD rule
+            _q.mark_tp_serving()  # Pallas decode kernels have no GSPMD rule
         else:
             self._pool_sharding = None
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg

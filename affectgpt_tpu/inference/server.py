@@ -191,7 +191,7 @@ class BatchServer:
             self._cache_sharding = NamedSharding(mesh, P(None, kv_axis, None, None))
             from affectgpt_tpu.models import qwen2 as _q
 
-            _q.TP_SERVING = True  # Pallas decode kernels have no GSPMD rule
+            _q.mark_tp_serving()  # Pallas decode kernels have no GSPMD rule
         else:
             self._cache_sharding = None
         self.frozen, self.trainable, self.cfg = frozen, trainable, cfg

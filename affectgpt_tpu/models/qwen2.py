@@ -437,13 +437,22 @@ DECODE_QKV = "auto"
 DECODE_ATTN_O = "xla"
 
 
-# Set by the tp>1 serving constructors (BatchServer/PagedBatchServer/Chat
-# with a mesh): the fused decode Pallas kernels carry no GSPMD partitioning
-# rule, so under a sharded jit XLA would REPLICATE their operands — a
-# per-layer weight all-gather every decode step. Trace-time flag; single-
-# chip serving (the only configuration measurable in this environment)
-# is unaffected.
+# Set via mark_tp_serving() by the tp>1 serving constructors
+# (BatchServer/PagedBatchServer/Chat with a mesh): the fused decode Pallas
+# kernels carry no GSPMD partitioning rule, so under a sharded jit XLA
+# would REPLICATE their operands — a per-layer weight all-gather every
+# decode step. Trace-time flag, deliberately STICKY for the process
+# (serving processes are single-purpose; mixing sharded and unsharded
+# engines in one process would otherwise re-trace with kernels that the
+# sharded engine cannot run). Tests reset it per test (conftest).
 TP_SERVING = False
+
+
+def mark_tp_serving() -> None:
+    """Disable the fused decode Pallas kernels for this process — call from
+    any engine that serves GSPMD-sharded weight trees."""
+    global TP_SERVING
+    TP_SERVING = True
 
 
 def _decode_kernel_backend_ok() -> bool:
@@ -585,8 +594,12 @@ def _attention(
     layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray, positions: jnp.ndarray,
     mask: jnp.ndarray, cache: Optional[dict], cache_index: Optional[jnp.ndarray],
     pre_ln: Optional[dict] = None,
-) -> Tuple[jnp.ndarray, Optional[dict]]:
-    """pre_ln: when given, x is the RAW residual stream and this function
+) -> Tuple[jnp.ndarray, Optional[dict], bool]:
+    """Returns (out, new_cache, residual_done): residual_done=True means the
+    fused attn+o kernel already added the residual stream into out (the
+    caller must NOT add x again).
+
+    pre_ln: when given, x is the RAW residual stream and this function
     owns the pre-attention rmsnorm — the fused decode-qkv kernel then folds
     it in-VMEM (one fewer [b,d] HBM round trip per layer per decode step);
     every fallback path norms explicitly first."""
@@ -708,6 +721,7 @@ def _attention(
         and lora_layer is None
         and "w" in layer["o_proj"]
         and cfg.head_dim % 128 == 0  # q/k/v block trailing dim lane-aligned
+        and cache["k"].shape[2] % 8 == 0  # a power-of-2 T block ≥ 8 exists
         and _decode_kernel_backend_ok()
         and (
             DECODE_ATTN_O == "pallas"

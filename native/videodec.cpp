@@ -682,8 +682,14 @@ int videodec_probe_coeffs(const char* path, int* n_frames, int* width,
 
 // Entropy-decode the requested frames into out_coef
 // [n, blocks_per_frame, 64] int16 and write the per-component dequant
-// tables (natural order) into out_quant [ncomp, 64]. All frames must share
-// frame 0's geometry (our MJPEG-AVI ingest transcode guarantees this).
+// tables (natural order) into out_quant [ncomp, 64]. The caller sized
+// out_coef from videodec_probe_coeffs (stream frame 0), so EVERY frame's
+// headers are validated against frame 0's geometry BEFORE any
+// coefficients are written (a mixed-geometry frame must not overrun the
+// caller's buffer), and per-frame quantization tables must match frame
+// 0's (a variable-quality stream would otherwise be silently dequantized
+// with the wrong tables on device). Returns: 6 = geometry mismatch,
+// 7 = quant-table mismatch — Python falls back to the host pixel path.
 int videodec_read_coeffs(const char* path, const int* indices, int n,
                          int16_t* out_coef, uint16_t* out_quant) {
   std::vector<uint8_t> buf;
@@ -691,39 +697,39 @@ int videodec_read_coeffs(const char* path, const int* indices, int n,
   AviInfo info;
   if (!parse_avi(buf, info)) return 2;
   if (!is_mjpeg(info.compression)) return 3;
-  size_t blocks = 0;
-  int ref_w = 0, ref_h = 0, ref_samp[6] = {0};
+  std::vector<uint8_t> unused;
+  // reference geometry + tables: stream frame 0 (what probe_coeffs saw)
+  JpegDecoder ref;
+  ref.headers_only = true;
+  const AviIndexEntry& e0 = info.frames[0];
+  if (!ref.decode(buf.data() + e0.offset, e0.size, unused)) return 5;
+  size_t blocks = ref.total_blocks();
+  for (int c = 0; c < ref.ncomp; c++)
+    std::memcpy(out_quant + size_t(c) * 64, ref.quant[ref.comp[c].tq],
+                64 * sizeof(uint16_t));
   for (int i = 0; i < n; i++) {
     int idx = indices[i];
     if (idx < 0 || size_t(idx) >= info.frames.size()) return 4;
     const AviIndexEntry& e = info.frames[size_t(idx)];
-    JpegDecoder dec;
-    std::vector<uint8_t> unused;
-    if (i == 0) {
-      // size the sink from this frame's geometry
-      dec.headers_only = true;
-      if (!dec.decode(buf.data() + e.offset, e.size, unused)) return 5;
-      blocks = dec.total_blocks();
-      ref_w = dec.width;
-      ref_h = dec.height;
-      for (int c = 0; c < dec.ncomp; c++) {
-        ref_samp[2 * c] = dec.comp[c].h;
-        ref_samp[2 * c + 1] = dec.comp[c].v;
-      }
-      dec = JpegDecoder();
+    // headers-only pre-pass: geometry/table validation before the sink
+    // decode may write anything
+    JpegDecoder hdr;
+    hdr.headers_only = true;
+    if (!hdr.decode(buf.data() + e.offset, e.size, unused)) return 5;
+    if (hdr.width != ref.width || hdr.height != ref.height ||
+        hdr.ncomp != ref.ncomp)
+      return 6;
+    for (int c = 0; c < hdr.ncomp; c++) {
+      if (hdr.comp[c].h != ref.comp[c].h || hdr.comp[c].v != ref.comp[c].v)
+        return 6;
+      if (std::memcmp(hdr.quant[hdr.comp[c].tq], ref.quant[ref.comp[c].tq],
+                      64 * sizeof(uint16_t)) != 0)
+        return 7;
     }
+    JpegDecoder dec;
     dec.coef_sink = out_coef + size_t(i) * blocks * 64;
     std::memset(dec.coef_sink, 0, blocks * 64 * sizeof(int16_t));
     if (!dec.decode(buf.data() + e.offset, e.size, unused)) return 5;
-    if (dec.width != ref_w || dec.height != ref_h) return 6;
-    for (int c = 0; c < dec.ncomp; c++)
-      if (dec.comp[c].h != ref_samp[2 * c] || dec.comp[c].v != ref_samp[2 * c + 1])
-        return 6;
-    if (i == 0) {
-      for (int c = 0; c < dec.ncomp; c++)
-        std::memcpy(out_quant + size_t(c) * 64, dec.quant[dec.comp[c].tq],
-                    64 * sizeof(uint16_t));
-    }
   }
   return 0;
 }

@@ -14,10 +14,8 @@ Env: JPEG_FRAMES (64), JPEG_W (448), JPEG_H (448), JPEG_REPEAT (5).
 
 from __future__ import annotations
 
-import io
 import json
 import os
-import struct
 import sys
 import time
 
@@ -31,45 +29,14 @@ H = int(os.environ.get("JPEG_H", 448))
 REPEAT = int(os.environ.get("JPEG_REPEAT", 5))
 
 
-def _build_avi(path, frame_payloads, width, height):
-    def chunk(fourcc, body):
-        pad = b"\x00" if len(body) & 1 else b""
-        return fourcc + struct.pack("<I", len(body)) + body + pad
-
-    def lst(list_type, body):
-        return chunk(b"LIST", list_type + body)
-
-    avih = struct.pack("<14I", 40000, 0, 0, 0x10, len(frame_payloads), 0, 1, 0,
-                       width, height, 0, 0, 0, 0)
-    strh = (b"vids" + b"MJPG" +
-            struct.pack("<IHH8I", 0, 0, 0, 0, 1, 25, 0, len(frame_payloads),
-                        0, 0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, width, height))
-    strf = struct.pack("<IiiHH4I2i", 40, width, height, 1, 24,
-                       struct.unpack("<I", b"MJPG")[0],
-                       width * height * 3, 0, 0, 0, 0)
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) +
-               lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in frame_payloads))
-    body = b"AVI " + hdrl + movi
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
-
-
 def main():
-    from PIL import Image
-
-    from affectgpt_tpu.data import media
+    from affectgpt_tpu.data import ingest, media
 
     rng = np.random.RandomState(0)
     base = rng.randint(0, 255, (H, W, 3), np.uint8)
-    payloads = []
-    for i in range(N):
-        f = np.roll(base, 7 * i, axis=1)
-        buf = io.BytesIO()
-        Image.fromarray(f).save(buf, format="JPEG", quality=90, subsampling=2)
-        payloads.append(buf.getvalue())
+    frames = [np.roll(base, 7 * i, axis=1) for i in range(N)]
     path = "/tmp/bench_jpeg.avi"
-    _build_avi(path, payloads, W, H)
+    ingest.write_mjpeg_avi(path, frames, fps=25, quality=90)
 
     # warm both paths (device path compiles once per geometry)
     host = media._read_video_native(path, N, "uniform", None, None)

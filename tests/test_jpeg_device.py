@@ -78,3 +78,37 @@ def test_raw_avi_returns_none(tmp_path):
     _build_avi(path, [b"".join(rows)], 16, 16, b"\x00\x00\x00\x00")
     assert media.read_video_frames_device(path) is None
     assert media._read_video_native(path, 1, "uniform", None, None) is not None
+
+
+def test_mixed_quality_stream_falls_back(tmp_path):
+    """Per-frame DQT variation: the coeff split must refuse (the device
+    path would dequantize with frame 0's tables) and the host path still
+    decodes each frame with its own tables."""
+    from PIL import Image
+
+    f = _rgb_test_frames(n=1, h=32, w=48)[0]
+    payloads = []
+    for q in (92, 50):  # different quality → different DQT
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="JPEG", quality=q, subsampling=2)
+        payloads.append(buf.getvalue())
+    path = str(tmp_path / "mixedq.avi")
+    _build_avi(path, payloads, 48, 32, b"MJPG")
+    assert media.read_video_frames_device(path, n_frms=2) is None
+    assert media._read_video_native(path, 2, "uniform", None, None) is not None
+
+
+def test_mixed_geometry_stream_falls_back(tmp_path):
+    """A frame with different dimensions must be rejected BEFORE any
+    coefficients are written (the caller sized the buffer from frame 0)."""
+    from PIL import Image
+
+    buf_small = io.BytesIO()
+    Image.fromarray(_rgb_test_frames(n=1, h=32, w=48)[0]).save(
+        buf_small, format="JPEG", quality=92, subsampling=2)
+    big = np.tile(_rgb_test_frames(n=1, h=32, w=48)[0], (4, 4, 1))  # 128x192
+    buf_big = io.BytesIO()
+    Image.fromarray(big).save(buf_big, format="JPEG", quality=92, subsampling=2)
+    path = str(tmp_path / "mixedg.avi")
+    _build_avi(path, [buf_small.getvalue(), buf_big.getvalue()], 48, 32, b"MJPG")
+    assert media.read_video_frames_device(path, n_frms=2) is None
