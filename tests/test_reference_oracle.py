@@ -60,16 +60,17 @@ class _DummyTokenizer:
         return dict(PATCH)
 
 
-def _build_reference_model(fusion: str = "attention"):
+def _build_reference_model(fusion: str = "attention", llm: str = "Qwen25"):
     from tests import refstubs
 
     refstubs.install()
     try:
         import my_affectgpt.models.affectgpt as ref_mod
-        from transformers import Qwen2Config, Qwen2ForCausalLM
+        from transformers import (LlamaConfig, LlamaForCausalLM, Qwen2Config,
+                                  Qwen2ForCausalLM)
 
         def fake_from_pretrained(path, **kw):
-            cfg = Qwen2Config(
+            geom = dict(
                 vocab_size=VOCAB, hidden_size=HID, intermediate_size=64,
                 num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
                 max_position_embeddings=512, rope_theta=10_000.0,
@@ -77,7 +78,9 @@ def _build_reference_model(fusion: str = "attention"):
                 bos_token_id=1, eos_token_id=2, pad_token_id=0,
             )
             torch.manual_seed(0)
-            return Qwen2ForCausalLM(cfg).float()
+            if llm == "Llama2":  # the reference's alternate family: no qkv bias
+                return LlamaForCausalLM(LlamaConfig(**geom)).float()
+            return Qwen2ForCausalLM(Qwen2Config(**geom)).float()
 
         saved_tok = ref_mod.load_tokenizer_from_LLM
         saved_fp = ref_mod.AutoModelForCausalLM.from_pretrained
@@ -96,7 +99,7 @@ def _build_reference_model(fusion: str = "attention"):
             model = ref_mod.AffectGPT(
                 visual_encoder_name="CLIP_VIT_LARGE",
                 acoustic_encoder_name="HUBERT_LARGE",
-                llama_model_name="Qwen25",
+                llama_model_name=llm,
                 frozen_video_proj=False, frozen_video_Qformer=False,
                 frozen_audio_Qformer=False, frozen_audio_proj=False,
                 frozen_llm=False, lora_r=2,
@@ -533,3 +536,85 @@ def test_optimizer_step_parity():
         )
         compared += 1
     assert compared >= 30, compared
+
+
+def test_llama2_family_loss_and_greedy_parity():
+    """The reference's alternate LLM family (llama_model_name='Llama2',
+    affectgpt.py:92-133 — same AutoModelForCausalLM + peft path, no qkv
+    biases): assembled loss parity + greedy-token parity through the same
+    converter (qkv_bias=False geometry on our side)."""
+    ref_model = _build_reference_model(llm="Llama2")
+    tree = convert.convert_reference_affectgpt(ref_model.state_dict())
+    from dataclasses import replace
+
+    llm_cfg = replace(qwen2.QwenConfig.tiny(lora_r=2),
+                      lora_alpha=32.0, qkv_bias=False)
+    cfg = replace(
+        affectgpt.AffectGPTConfig.tiny(),
+        llm=llm_cfg, visual_dim=VIS_DIM, acoustic_dim=AC_DIM,
+    )
+    rng = np.random.default_rng(37)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+
+    with torch.no_grad():
+        ref_loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"].item()
+    frozen = {"llm": jax.tree.map(jnp.asarray, tree["frozen"]["llm"])}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    our_loss = float(
+        affectgpt.forward_loss(
+            frozen, trainable, cfg, _our_batch(ids, attn, labels, feats, offs)
+        )
+    )
+    assert abs(ref_loss - our_loss) < 1e-3, (ref_loss, our_loss)
+
+    # greedy continuation on the prompt prefix
+    t_prompt = 23
+    ids_p = ids[:, :t_prompt]
+    ids_zeroed = ids_p.copy()
+    for pid in PATCH.values():
+        ids_zeroed[ids_zeroed == pid] = 0
+    prompt_embeds = affectgpt.build_inputs_embeds(
+        frozen, trainable, cfg,
+        jnp.asarray(ids_zeroed, dtype=jnp.int32),
+        {m: jnp.asarray(v) for m, v in feats.items()},
+        {m: jnp.full((ids.shape[0],), off, dtype=jnp.int32) for m, off in offs.items()},
+    )
+    max_new = 6
+    gen_cfg = gen_mod.GenerateConfig(
+        max_new_tokens=max_new, do_sample=False, eos_token_id=2, stop_token_ids=()
+    )
+    b = ids.shape[0]
+    tokens, num_valid = gen_mod.generate(
+        frozen["llm"], cfg.llm, gen_cfg,
+        prompt_embeds.astype(jnp.float32),
+        jnp.full((b,), t_prompt, dtype=jnp.int32),
+        jax.random.PRNGKey(0), max_len=t_prompt + max_new,
+        lora=trainable["lora"],
+    )
+    tokens, num_valid = np.asarray(tokens), np.asarray(num_valid)
+    with torch.no_grad():
+        temp = torch.from_numpy(ids_zeroed)
+        embeds = ref_model.llama_model.model.model.embed_tokens(temp)
+        blocks = {}
+        _, blocks["frame"] = ref_model.encode_video_merge(
+            torch.from_numpy(feats["frame"]), None, is_preextracted=True)
+        face_h, blocks["face"] = ref_model.encode_video_merge(
+            torch.from_numpy(feats["face"]), None, is_preextracted=True)
+        audio_h, blocks["audio"] = ref_model.encode_audio_merge(
+            torch.from_numpy(feats["audio"]), None, is_preextracted=True)
+        _, blocks["multi"] = ref_model.encode_multi_merge(face_h, audio_h)
+        for m, off in offs.items():
+            q = blocks[m].shape[1]
+            embeds = torch.cat(
+                [embeds[:, :off], blocks[m], embeds[:, off + q:]], dim=1)
+        ref_out = ref_model.llama_model.generate(
+            inputs_embeds=embeds,
+            attention_mask=torch.ones(b, t_prompt, dtype=torch.long),
+            do_sample=False, num_beams=1, max_new_tokens=max_new,
+            pad_token_id=0, eos_token_id=2,
+        )
+    ref_tokens = np.asarray(ref_out)
+    for row in range(b):
+        n = int(num_valid[row])
+        assert n >= 1
+        np.testing.assert_array_equal(tokens[row, :n], ref_tokens[row, :n])
