@@ -372,7 +372,7 @@ class PagedBatchServer:
                  max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
                  prefill_bucket: int = 64, mesh=None, decode_burst: int = 8,
-                 admission: str = "reserve"):
+                 admission: str = "reserve", prefill_batch: int = 256):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
         if mesh is not None:
@@ -417,6 +417,15 @@ class PagedBatchServer:
         # prompts padded to a bucket multiple → the prefill program is
         # shared across prompt lengths instead of recompiling per length
         self.prefill_bucket = min(prefill_bucket, self.pcfg.max_seq_len)
+        # cap on requests per admission: one admission prefills as ONE
+        # batched forward, so at large slot counts an uncapped admission
+        # (slots → next pow2) dominates HBM temps — 7B int8 pools at 384
+        # slots compile a [512, t] prefill and OOM where chunks of 128 fit
+        # (TPU-measured: cap 128 runs 42.2 clips/s there vs OOM). Capping
+        # costs throughput when HBM allows bigger chunks (3B s256: 99.8 at
+        # cap 128 vs 104.7 at 256), so the default stays 256 and capacity
+        # configs pass prefill_batch=128 (bench: PAGED_PREFILL_BATCH).
+        self.prefill_batch = max(1, prefill_batch)
         # decode-burst length: tokens decoded per compiled device program
         # (power-of-two-bucketed at run time so the compile count stays
         # O(log burst)). 1 restores per-token host stepping.
@@ -471,7 +480,7 @@ class PagedBatchServer:
         signature = tuple(sorted(self.pending[0].features))
         batch, blocks_needed = [], 0
         for req in self.pending:
-            if len(batch) >= len(free):
+            if len(batch) >= min(len(free), self.prefill_batch):
                 break
             if tuple(sorted(req.features)) != signature:
                 break

@@ -121,6 +121,7 @@ def main():
         frozen, trainable, cfg, _Tok(), pcfg=pcfg, max_slots=SLOTS,
         dtype=pool_dtype, do_sample=False,
         decode_burst=BURST,
+        prefill_batch=int(os.environ.get("PAGED_PREFILL_BATCH", 256)),
     )
     feats_np = {m: np.asarray(v) for m, v in feats.items()}
     ids_np = np.asarray(input_ids)
