@@ -112,3 +112,34 @@ def test_mixed_geometry_stream_falls_back(tmp_path):
     path = str(tmp_path / "mixedg.avi")
     _build_avi(path, [buf_small.getvalue(), buf_big.getvalue()], 48, 32, b"MJPG")
     assert media.read_video_frames_device(path, n_frms=2) is None
+
+
+def test_corrupted_payload_fuzz(tmp_path):
+    """Bit-flipped / truncated MJPEG payloads through BOTH the pixel and
+    the coefficient path: every case must return cleanly (frames or a
+    fallback None), never crash — the coeff reader validates headers
+    before writing into the caller's buffer."""
+    from PIL import Image
+
+    rng = np.random.RandomState(7)
+    f = _rgb_test_frames(n=1, h=40, w=56, seed=3)[0]
+    buf = io.BytesIO()
+    Image.fromarray(f).save(buf, format="JPEG", quality=90, subsampling=2)
+    good = bytearray(buf.getvalue())
+
+    for case in range(40):
+        payload = bytearray(good)
+        if case % 3 == 0:  # truncate
+            payload = payload[: rng.randint(2, len(payload))]
+        elif case % 3 == 1:  # single-byte corruption
+            payload[rng.randint(0, len(payload))] = rng.randint(0, 256)
+        else:  # corrupt a run in the entropy segment
+            start = rng.randint(len(payload) // 2, len(payload) - 8)
+            for j in range(start, min(start + 8, len(payload))):
+                payload[j] = rng.randint(0, 256)
+        path = str(tmp_path / f"fuzz{case}.avi")
+        _build_avi(path, [bytes(payload)], 56, 40, b"MJPG")
+        host = media._read_video_native(path, 1, "uniform", None, None)
+        dev = media.read_video_frames_device(path, n_frms=1)
+        assert host is None or host.shape == (1, 40, 56, 3)
+        assert dev is None or np.asarray(dev).shape == (1, 40, 56, 3)
