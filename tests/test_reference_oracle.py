@@ -60,7 +60,8 @@ class _DummyTokenizer:
         return dict(PATCH)
 
 
-def _build_reference_model(fusion: str = "attention", llm: str = "Qwen25"):
+def _build_reference_model(fusion: str = "attention", llm: str = "Qwen25",
+                           multi_fusion: str = None):
     from tests import refstubs
 
     refstubs.install()
@@ -109,7 +110,8 @@ def _build_reference_model(fusion: str = "attention", llm: str = "Qwen25"):
                 num_image_query_token=2, num_au_query_token=2,
                 frozen_multi_Qformer=False, frozen_multi_llama_proj=False,
                 frozen_au_proj=False,
-                multi_fusion_type=fusion, video_fusion_type=fusion,
+                multi_fusion_type=multi_fusion or fusion,
+                video_fusion_type=fusion,
                 audio_fusion_type=fusion, image_fusion_type="mean",
                 au_fusion_type="mean",
                 skip_encoders=True,
@@ -618,3 +620,32 @@ def test_llama2_family_loss_and_greedy_parity():
         n = int(num_valid[row])
         assert n >= 1
         np.testing.assert_array_equal(tokens[row, :n], ref_tokens[row, :n])
+
+
+def test_mean_fusion_loss_parity():
+    """The third fusion family: video/audio_fusion_type='mean'
+    (affectgpt.py:601-607 preextracted mean path; the reference's multi
+    pre-fusion has no mean variant, so multi stays attention). Completes
+    the attention/qformer/mean oracle matrix."""
+    ref_model = _build_reference_model(fusion="mean", multi_fusion="attention")
+    tree = convert.convert_reference_affectgpt(ref_model.state_dict())
+    from dataclasses import replace
+
+    llm_cfg = replace(qwen2.QwenConfig.tiny(lora_r=2), lora_alpha=32.0)
+    cfg = replace(
+        affectgpt.AffectGPTConfig.tiny(),
+        llm=llm_cfg, visual_dim=VIS_DIM, acoustic_dim=AC_DIM,
+        video_fusion_type="mean", audio_fusion_type="mean",
+    )
+    rng = np.random.default_rng(41)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+    with torch.no_grad():
+        ref_loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"].item()
+    frozen = {"llm": jax.tree.map(jnp.asarray, tree["frozen"]["llm"])}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    our_loss = float(
+        affectgpt.forward_loss(
+            frozen, trainable, cfg, _our_batch(ids, attn, labels, feats, offs)
+        )
+    )
+    assert abs(ref_loss - our_loss) < 1e-3, (ref_loss, our_loss)
