@@ -423,6 +423,20 @@ DECODE_MLP = "auto"
 # (default) additionally requires the resident q/k/v weights ≤ 12 MB.
 DECODE_QKV = "auto"
 
+# Trace-time switch for the PREFILL attention: "flash" routes the t>1
+# cache-populating forward through JAX's stock TPU flash-attention Pallas
+# op (jax.experimental.pallas.ops.tpu.flash_attention) over the LOCAL
+# just-projected k/v with causal + left-pad segment masking, instead of
+# the XLA einsum chain over the full cache (which materializes the
+# [b, kv, g, t, max_len] fp32 score tensor — 755 MB at 3B b384). GQA rides
+# as a kv-head repeat (the op wants equal q/kv head counts). TPU-measured
+# a 4.5% LOSS at 3B b384 (151.4 vs 158.1-159.1 clips/s, token-IDENTICAL):
+# the materialized 8× K/V repeat + op overhead outweigh the score-tensor
+# savings — the same verdict as every other attention-kernel probe on
+# this stack (decode_attention neutral, decode attn+o −1.5%, CLIP flash
+# e2e-neutral). Stays "xla"; BENCH_PREFILL_ATTN in bench.py.
+PREFILL_ATTENTION = "xla"
+
 # Trace-time switch for the decode attention BACK half: QK^T → online
 # softmax → PV → o_proj → residual in one kernel with W_o VMEM-resident
 # (ops/decode_attn_o_pallas). Only engages on top of the fused qkv kernel
@@ -581,6 +595,41 @@ def _decode_mlp_fused(
     return None
 
 
+def _flash_prefill_attention(
+    cfg: QwenConfig, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    mask: jnp.ndarray, t: int,
+) -> jnp.ndarray:
+    """Prefill self-attention through JAX's stock TPU flash-attention op.
+    q [b, t, H, d]; k/v [b, kv, t, d] (the local, pre-cache-write
+    projections); mask [b, 1, t, max_len] (causal & left-pad validity —
+    the left-pack means key validity is a per-row prefix mask, recovered
+    from the LAST query row's local columns). Returns [b, t, H*d]."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b = q.shape[0]
+    groups = cfg.num_heads // cfg.num_kv_heads
+    qh = q.transpose(0, 2, 1, 3)  # [b, H, t, d]
+    kh = jnp.repeat(k, groups, axis=1)  # GQA: the op wants equal head counts
+    vh = jnp.repeat(v, groups, axis=1)
+    # pads carry segment 0, real tokens segment 1 → pads never attend real
+    seg = mask[:, 0, t - 1, :t].astype(jnp.int32)  # [b, t]
+    bq = 512
+    while t % bq:
+        bq //= 2
+    bs = fa.BlockSizes.get_default(b, cfg.num_heads, t, t, cfg.head_dim)
+    import dataclasses as _dc
+
+    bs = _dc.replace(
+        bs,
+        **{f.name: min(getattr(bs, f.name), bq) for f in _dc.fields(bs)},
+    )
+    out = fa.flash_attention(
+        qh, kh, vh, segment_ids=fa.SegmentIds(q=seg, kv=seg), causal=True,
+        sm_scale=1.0 / float(cfg.head_dim) ** 0.5, block_sizes=bs,
+    )  # [b, H, t, d]
+    return out.transpose(0, 2, 1, 3).reshape(b, t, cfg.num_heads * cfg.head_dim)
+
+
 def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-row int8 quantization over the trailing (head_dim) axis.
     Returns (int8 values, float32 scale [..., 1])."""
@@ -707,6 +756,25 @@ def _attention(
                 name: jax.lax.dynamic_update_slice_in_dim(cache[name], new, cache_index, axis=2)
                 for name, new in writes + writes3
             }
+        if (
+            PREFILL_ATTENTION == "flash"
+            and t >= 64
+            and not kv_quant
+            and getattr(cache_index, "ndim", 0) == 0  # prefill, not verify
+            and t % 32 == 0
+            and cfg.head_dim in (64, 128)
+            and jax.default_backend() == "tpu"
+        ):
+            # prefill: attend over the LOCAL just-projected k/v (the cache
+            # holds nothing beyond them yet; later columns are masked in
+            # the XLA path anyway). q/k/v here are pre-write [b, kv, t, d].
+            out = _flash_prefill_attention(cfg, q, k, v, mask, t)
+            return (
+                _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling,
+                            has_bias=False),
+                new_cache,
+                False,
+            )
         k, v = new_cache["k"], new_cache["v"]
         if kv_quant:
             k_scale = new_cache["k_scale"]  # [b, kv, max_len]

@@ -127,6 +127,10 @@ def main():
         from affectgpt_tpu.models import qwen2 as _q
 
         _q.DECODE_ATTN_O = os.environ["BENCH_DECODE_ATTN_O"]
+    if os.environ.get("BENCH_PREFILL_ATTN"):
+        from affectgpt_tpu.models import qwen2 as _q
+
+        _q.PREFILL_ATTENTION = os.environ["BENCH_PREFILL_ATTN"]
     if GEOMETRY == "7b":
         from affectgpt_tpu.models import qwen2
 
