@@ -649,3 +649,40 @@ def test_mean_fusion_loss_parity():
         )
     )
     assert abs(ref_loss - our_loss) < 1e-3, (ref_loss, our_loss)
+
+
+def test_qformer_4d_realtime_merge_parity(oracle_qformer):
+    """The REALTIME qformer merge case1 (4-D [b, t, q, h] BLIP2-style
+    encoder outputs: per-frame position embedding broadcast over q, flatten
+    to [b, t*q, h], Q-Former, projection — affectgpt.py:420-467) vs our
+    apply_merger's 4-D branch, with the reference's visual encoder stubbed
+    to return fixed hiddens."""
+    ref_model, tree, cfg = oracle_qformer
+    rng = np.random.default_rng(43)
+    b, t, q_in = 2, 3, 4
+    hiddens = rng.normal(size=(b, t, q_in, VIS_DIM)).astype(np.float32)
+
+    class _FakeEncoder(torch.nn.Module):
+        def forward(self, video, raw_video):
+            return torch.from_numpy(hiddens)
+
+    saved = ref_model.visual_encoder
+    try:
+        ref_model.visual_encoder = _FakeEncoder()
+        with torch.no_grad():
+            _, ref_llms = ref_model.encode_video_qformer(
+                torch.zeros(b, 1), None
+            )
+    finally:
+        ref_model.visual_encoder = saved
+
+    from affectgpt_tpu.models import mergers as mergers_mod
+
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    ours = mergers_mod.apply_merger(
+        trainable["mergers"]["video"], cfg.merger_config("frame"),
+        jnp.asarray(hiddens),
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), ref_llms.numpy(), atol=2e-4, rtol=2e-4
+    )
