@@ -1,0 +1,56 @@
+"""Smoke tests for the small operational CLIs that had no coverage:
+verify_au_pipeline (AU chain checker) and scripts/ingest_transcode."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+_ENV = {"PYTHONPATH": "/root/repo", "JAX_PLATFORMS": "cpu",
+        "PATH": "/usr/local/bin:/usr/bin:/bin", "HOME": "/root"}
+
+
+def _run(args, cwd="/root/repo"):
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=cwd, env=_ENV)
+
+
+def test_verify_au_pipeline_cli(tmp_path):
+    good = tmp_path / "mf" / "clip_good"
+    good.mkdir(parents=True)
+    (good / "clip_good_au_analysis.json").write_text(json.dumps({
+        "au_info": {
+            "peak_frames": [{"peak_index": 4, "frames_before_peak": 2,
+                             "frames_after_peak": 2}],
+            "frames": [{"summary_description": "brow raise"}],
+        },
+    }))
+    bad = tmp_path / "mf" / "clip_bad"
+    bad.mkdir(parents=True)
+    (bad / "clip_bad_au_analysis.json").write_text(json.dumps({"oops": 1}))
+    nv = tmp_path / "nonverbal.json"
+    nv.write_text(json.dumps({"MER2023": {"clip_good": "a raised brow"}}))
+
+    out = _run(["verify_au_pipeline.py",
+                "--mer-factory-output", str(tmp_path / "mf"),
+                "--nonverbal-json", str(nv)])
+    assert out.returncode == 0, out.stderr[-2000:]
+    log = out.stdout + out.stderr
+    assert "found 2 AU analysis files" in log
+    assert "missing au_info" in log
+    assert "nonverbal json" in log
+
+
+def test_ingest_transcode_cli(tmp_path):
+    from affectgpt_tpu.data import ingest, media
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (32, 48, 3), np.uint8) for _ in range(4)]
+    src = str(tmp_path / "src.avi")
+    ingest.write_mjpeg_avi(src, frames, fps=10, quality=92)
+    dst = str(tmp_path / "out.avi")
+    out = _run(["scripts/ingest_transcode.py", "--src", src, "--dst", dst])
+    assert out.returncode == 0, out.stderr[-2000:]
+    decoded = media._read_video_native(dst, 4, "uniform", None, None)
+    assert decoded is not None and decoded.shape == (4, 32, 48, 3)
