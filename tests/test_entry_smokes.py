@@ -54,3 +54,26 @@ def test_ingest_transcode_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     decoded = media._read_video_native(dst, 4, "uniform", None, None)
     assert decoded is not None and decoded.shape == (4, 32, 48, 3)
+
+
+def test_encode_fine_grained_cli(tmp_path):
+    mf = tmp_path / "mf" / "vid1"
+    mf.mkdir(parents=True)
+    (mf / "vid1_au_analysis.json").write_text(json.dumps({
+        "fine_grained_descriptions": {"0.0s": "neutral face",
+                                      "1.5s": "brow lowers, jaw clenches"},
+        "au_info": {},
+    }))
+    empty = tmp_path / "mf" / "vid2"
+    empty.mkdir(parents=True)
+    (empty / "vid2_au_analysis.json").write_text(json.dumps({"au_info": {}}))
+    save = tmp_path / "out"
+    out = _run(["scripts/encode_fine_grained.py",
+                "--mer-factory-output", str(tmp_path / "mf"),
+                "--save-root", str(save)])
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = np.load(save / "vid1_fine_grained_clip.npz")
+    assert data["features"].shape == (2, 512)
+    assert list(data["keys"]) == ["0.0s", "1.5s"]
+    assert np.isfinite(data["features"]).all()
+    assert not (save / "vid2_fine_grained_clip.npz").exists()
