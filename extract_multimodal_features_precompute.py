@@ -182,25 +182,13 @@ class FeatureExtractor:
         if not descriptions:
             return False
 
+        from affectgpt_tpu.utils import clip_text
+
         if self.clip_text is None:
-            text_dir = paths.PATH_TO_VISUAL.get("CLIP_VIT_BASE32", "")
-            cfg = clip_vit.ClipTextConfig.vit_b_32_text()
-            if text_dir and os.path.isdir(text_dir):
-                params = jax.tree.map(self.jnp.asarray, convert.convert_clip_text(text_dir))
-            else:
-                logger.warning("CLIP text dir missing — random init")
-                params = clip_vit.init_text_params(jax.random.PRNGKey(2), cfg)
-            self.clip_text = (params, cfg)
-        params, cfg = self.clip_text
-        # simple byte-fallback tokenization when no CLIP BPE assets exist
-        ids = np.zeros((len(descriptions), cfg.context_length), dtype=np.int32)
-        for i, text in enumerate(descriptions):
-            enc = [min(b, cfg.vocab_size - 2) for b in text.encode()][: cfg.context_length - 1]
-            ids[i, : len(enc)] = enc
-            ids[i, len(enc)] = cfg.vocab_size - 1  # EOT
-        feats = clip_vit.encode_text(params, cfg, self.jnp.asarray(ids))
+            self.clip_text = clip_text.load_text_tower()
+        feats = clip_text.encode_texts(*self.clip_text, descriptions)
         os.makedirs(os.path.dirname(out), exist_ok=True)
-        np.save(out, np.asarray(feats, dtype=np.float32))
+        np.save(out, feats)
         return True
 
     def extract_multi(self, name: str) -> bool:

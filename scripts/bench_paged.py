@@ -17,7 +17,9 @@ Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
      PAGED_DENSE_BATCH (256), PAGED_BURST (8), PAGED_BLOCK (16),
      PAGED_GEOMETRY=7b + PAGED_BITS (8) for the int8 flagship geometry
      (LoRA unmerged — quantized weights can't absorb the merge),
-     PAGED_KV=int8 for quantized pools (2× tokens-in-flight per HBM byte).
+     PAGED_KV=int8 for quantized pools (2× tokens-in-flight per HBM byte),
+     PAGED_PREFILL_BATCH (256) — cap requests per admission; set 128 for
+     the 7B s384 capacity configs (bounds prefill HBM temps, see CLAUDE.md).
 """
 
 from __future__ import annotations

@@ -2,7 +2,7 @@
 
 Parity with the reference's standalone CLI (reference:
 AffectGPT/encode_fine_grained_descriptions.py): walks
-`{output}/{video_id}/{video_id}_au_analysis.json`, CLIP-text-encodes每
+`{output}/{video_id}/{video_id}_au_analysis.json`, CLIP-text-encodes each
 fine-grained description, and writes one artifact per video. Two TPU-era
 deltas: the text tower is the in-tree JAX CLIP ViT-B/32 (models/clip_vit
 + convert.convert_clip_text — no `clip` pip package), and features land
@@ -20,46 +20,23 @@ import argparse
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from affectgpt_tpu.utils import clip_text
 from affectgpt_tpu.utils.logging import logger, setup_logger
 
 
-def _load_text_tower():
-    import jax
-
-    from affectgpt_tpu import paths
-    from affectgpt_tpu.models import clip_vit, convert
-
-    cfg = clip_vit.ClipTextConfig.vit_b_32_text()
-    text_dir = paths.PATH_TO_VISUAL.get("CLIP_VIT_BASE32", "")
-    if text_dir and os.path.isdir(text_dir):
-        params = jax.tree.map(np.asarray, convert.convert_clip_text(text_dir))
-    else:
-        logger.warning("CLIP text dir missing — random init (smoke mode)")
-        params = clip_vit.init_text_params(jax.random.PRNGKey(2), cfg)
-    return params, cfg
-
-
-def _encode(params, cfg, texts):
-    import jax.numpy as jnp
-
-    from affectgpt_tpu.models import clip_vit
-
-    # byte-fallback tokenization when no CLIP BPE assets exist (same
-    # convention as the AU precompute path)
-    ids = np.zeros((len(texts), cfg.context_length), dtype=np.int32)
-    for i, text in enumerate(texts):
-        enc = [min(b, cfg.vocab_size - 2) for b in text.encode()][: cfg.context_length - 1]
-        ids[i, : len(enc)] = enc
-        ids[i, len(enc)] = cfg.vocab_size - 1  # EOT
-    return np.asarray(
-        clip_vit.encode_text(params, cfg, jnp.asarray(ids)), dtype=np.float32
-    )
+def _temporal_key(key: str):
+    """Order timestamp-like keys numerically ('2.0s' before '10.5s' —
+    lexicographic sort would interleave them and misalign feature rows
+    with their timestamps); non-numeric keys sort after, lexicographically."""
+    match = re.match(r"^\s*(-?\d+(?:\.\d+)?)", str(key))
+    return (0, float(match.group(1)), str(key)) if match else (1, 0.0, str(key))
 
 
 def main() -> None:
@@ -99,9 +76,9 @@ def main() -> None:
             skipped += 1
             continue
         if tower is None:
-            tower = _load_text_tower()
-        keys = sorted(descs)
-        feats = _encode(*tower, [str(descs[k]) for k in keys])
+            tower = clip_text.load_text_tower()
+        keys = sorted(descs, key=_temporal_key)
+        feats = clip_text.encode_texts(*tower, [str(descs[k]) for k in keys])
         np.savez(out, keys=np.asarray(keys), features=feats)
         done += 1
     logger.info("encoded %d videos (%d skipped) → %s", done, skipped, args.save_root)

@@ -60,8 +60,11 @@ def test_encode_fine_grained_cli(tmp_path):
     mf = tmp_path / "mf" / "vid1"
     mf.mkdir(parents=True)
     (mf / "vid1_au_analysis.json").write_text(json.dumps({
-        "fine_grained_descriptions": {"0.0s": "neutral face",
-                                      "1.5s": "brow lowers, jaw clenches"},
+        # '10.5s' sorts lexicographically BEFORE '2.0s' — the CLI must
+        # order feature rows temporally (numeric key), not by string
+        "fine_grained_descriptions": {"10.5s": "jaw clenches",
+                                      "0.0s": "neutral face",
+                                      "2.0s": "brow lowers"},
         "au_info": {},
     }))
     empty = tmp_path / "mf" / "vid2"
@@ -73,7 +76,39 @@ def test_encode_fine_grained_cli(tmp_path):
                 "--save-root", str(save)])
     assert out.returncode == 0, out.stderr[-2000:]
     data = np.load(save / "vid1_fine_grained_clip.npz")
-    assert data["features"].shape == (2, 512)
-    assert list(data["keys"]) == ["0.0s", "1.5s"]
+    assert data["features"].shape == (3, 512)
+    assert list(data["keys"]) == ["0.0s", "2.0s", "10.5s"]  # temporal order
     assert np.isfinite(data["features"]).all()
     assert not (save / "vid2_fine_grained_clip.npz").exists()
+
+
+def test_precompute_extract_au(tmp_path):
+    """FeatureExtractor.extract_au through the shared clip_text helper:
+    MER-Factory summary descriptions → [N, 512] CLIP text cache (random
+    tower in smoke mode). Constructed via __new__ — the AU leg only needs
+    the cache-path attrs and the lazily-loaded text tower."""
+    import extract_multimodal_features_precompute as pre
+
+    mf = tmp_path / "mf" / "clipA"
+    mf.mkdir(parents=True)
+    (mf / "clipA_au_analysis.json").write_text(json.dumps({
+        "au_info": {"frames": [
+            {"summary_description": "brow raise"},
+            {"summary_description": "lip corner pull"},
+        ]},
+    }))
+    fx = pre.FeatureExtractor.__new__(pre.FeatureExtractor)
+    fx.save_root = str(tmp_path / "feat")
+    fx.dataset = "MER2023"
+    fx.frame_sampling = "uniform"
+    fx.frame_n_frms = 8
+    fx.visual_encoder_name = "CLIP_VIT_LARGE"
+    fx.acoustic_encoder_name = "HUBERT_LARGE"
+    fx.clips_per_video = 3
+    fx.clip_text = None
+    assert fx.extract_au("clipA", str(tmp_path / "mf"))
+    out = fx.cache_path("au", "clipA")
+    feats = np.load(out)
+    assert feats.shape == (2, 512) and np.isfinite(feats).all()
+    # absent json → False, no cache
+    assert not fx.extract_au("missing", str(tmp_path / "mf"))
