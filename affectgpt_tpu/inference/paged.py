@@ -602,13 +602,18 @@ class PagedBatchServer:
             target = min(s["pos"] + k, self.pcfg.max_seq_len)
             return max(0, -(-target // self.pcfg.block_size) - len(s["table"]))
 
-        while (sum(burst_blocks(s) for _, s in live) > len(self.alloc.free)
+        # available() (free minus reservations), not len(free): identical
+        # under optimistic admission (reserved==0) but stays correct if a
+        # reserve-mode engine ever coexists — otherwise the feasibility
+        # check would overcount and alloc.extend could raise mid-step.
+        while (sum(burst_blocks(s) for _, s in live) > self.alloc.available()
                and len(live) > 1):
             j = max(range(len(live)), key=lambda idx: live[idx][1]["remaining"])
             i, s = live.pop(j)
             self.alloc.release(s.get("reserved", 0))
             self.alloc.free_table(s["table"])
             self.pending.insert(0, s["request"])
+            self.clock.preempted(s["request_id"])
             self.slots[i] = None
             self.stats["preemptions"] += 1
         return live

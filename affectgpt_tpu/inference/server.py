@@ -61,6 +61,14 @@ class RequestClock:
         if rec is not None and "first" not in rec:
             rec["first"] = time.perf_counter()
 
+    def preempted(self, request_id: int) -> None:
+        """Recompute preemption discards a slot's generated tokens, so the
+        stamped first token was never delivered — clear it so TTFT reflects
+        the first token of the SURVIVING generation after re-prefill."""
+        rec = self._t.get(request_id)
+        if rec is not None:
+            rec.pop("first", None)
+
     def finished(self, request_id: int, n_tokens: int) -> None:
         rec = self._t.pop(request_id, None)
         if rec is None:

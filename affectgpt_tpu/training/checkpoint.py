@@ -86,27 +86,76 @@ def load_checkpoint(path: str) -> dict:
     return _checkpointer().restore(os.path.abspath(path))
 
 
-def _overlay(base: Any, update: Any) -> Any:
+def _overlay(base: Any, update: Any, _path: str = "", _unknown: Optional[list] = None) -> Any:
     """Non-strict merge: leaves present in `update` replace `base`,
-    missing subtrees keep base values (strict=False load_state_dict)."""
+    missing subtrees keep base values (strict=False load_state_dict).
+    Keys absent from `base` are still inserted (reference non-strict
+    semantics) but collected into `_unknown` so callers can warn — a
+    silently-inserted dead subtree means the live weights at that slot
+    stayed at random init."""
     if isinstance(base, dict) and isinstance(update, dict):
         out = dict(base)
         for key, value in update.items():
-            out[key] = _overlay(base[key], value) if key in base else value
+            if key in base:
+                out[key] = _overlay(base[key], value, f"{_path}/{key}", _unknown)
+            else:
+                if _unknown is not None:
+                    _unknown.append(f"{_path}/{key}")
+                out[key] = value
         return out
     if isinstance(base, list) and isinstance(update, list) and len(base) == len(update):
-        return [_overlay(b, u) for b, u in zip(base, update)]
+        return [_overlay(b, u, f"{_path}[{i}]", _unknown) for i, (b, u) in enumerate(zip(base, update))]
     return update if update is not None else base
+
+
+def _migrate_legacy_mergers(update: Any) -> Any:
+    """Pre-round-3 checkpoints keyed trainable["mergers"] by MODALITY
+    (frame/face/audio/image/au); the live tree keys them by GROUP
+    (video/audio/image/au) because frame and face share ONE video merger,
+    matching the reference (affectgpt.MERGER_GROUP; reference
+    affectgpt.py:929-932). Map frame→video and drop face so an old
+    checkpoint restores into the shared merger instead of leaving it at
+    random init behind dead frame/face keys."""
+    if not (isinstance(update, dict) and isinstance(update.get("mergers"), dict)):
+        return update
+    mergers = update["mergers"]
+    if "frame" not in mergers and "face" not in mergers:
+        return update
+    migrated = {k: v for k, v in mergers.items() if k not in ("frame", "face")}
+    if "video" not in migrated and "frame" in mergers:
+        migrated["video"] = mergers["frame"]
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "checkpoint: legacy modality-keyed mergers migrated (frame->video"
+        "%s); re-save to silence this",
+        ", face weights dropped" if "face" in mergers else "",
+    )
+    out = dict(update)
+    out["mergers"] = migrated
+    return out
 
 
 def apply_checkpoint_overlays(trainable: Any, *ckpt_paths: Optional[str]) -> Any:
     """Reference 3-tier composition: apply ckpt, ckpt_2, ckpt_3 in order,
     later tiers winning (affectgpt.py:1099-1120)."""
+    import logging
+
     for path in ckpt_paths:
         if not path:
             continue
         payload = load_checkpoint(path)
-        trainable = _overlay(trainable, payload["trainable"])
+        unknown: list = []
+        trainable = _overlay(
+            trainable, _migrate_legacy_mergers(payload["trainable"]), _unknown=unknown
+        )
+        if unknown:
+            logging.getLogger(__name__).warning(
+                "checkpoint %s: %d key(s) absent from the live trainable tree "
+                "were inserted verbatim (first: %s) — the live weights at those "
+                "slots are unchanged",
+                path, len(unknown), unknown[0],
+            )
     return trainable
 
 

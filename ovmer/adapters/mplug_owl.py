@@ -110,13 +110,18 @@ def build_model_fn(
         ids = torch.tensor([tokenizer.encode(text)], device=device)
         try:
             with torch.no_grad():
+                # max_length passed VERBATIM (reference main-video.py uses a
+                # fixed max_length=512): an overlong subtitle prompt fails
+                # inside generate and takes the documented empty-string
+                # fallback below, matching the reference harness's output
+                # distribution on long-subtitle clips.
                 out = model.generate(
                     input_ids=ids,
                     pixel_values=pixel_values,
                     attention_mask=torch.ones_like(ids),
                     do_sample=True,
                     top_k=5,
-                    max_length=max(max_length, ids.shape[1] + 16),
+                    max_length=max_length,
                 )
             decoded = tokenizer.decode(
                 out[0, ids.shape[1]:].tolist(), skip_special_tokens=True

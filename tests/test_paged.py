@@ -445,5 +445,12 @@ class TestFusedDecodeKernels:
         ) is not None, "gate must engage for this geometry"
         fused_logits, _ = run()
         monkeypatch.setenv("AFFECTGPT_DECODE_KERNEL_INTERPRET", "0")
+        # the env toggle is read at TRACE time inside the jitted decode
+        # step; without busting the jit cache the second run would replay
+        # the fused program and the assert would compare it to itself
+        jax.clear_caches()
+        assert qwen2._decode_qkv_fused(
+            params["layers"][0], None, cfg, jnp.zeros((b, cfg.hidden_size)), positions
+        ) is None, "gate must DISENGAGE with the interpret env off (CPU)"
         unfused_logits, _ = run()
         np.testing.assert_allclose(fused_logits, unfused_logits, atol=2e-3, rtol=2e-3)

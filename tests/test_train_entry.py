@@ -124,3 +124,31 @@ class TestTrainEntry:
             np.asarray(trainable["mergers"]["audio"]["proj"]["w"]),
         )
         assert checkpoint.list_checkpoints(str(tmp_path))[0][0] == 3
+
+    def test_legacy_modality_keyed_checkpoint_migrates(self, corpus, tmp_path):
+        """A pre-round-3 checkpoint keyed mergers by MODALITY (frame/face);
+        the live tree keys them by GROUP (video). Restoring it must load the
+        frame weights into the shared video merger — not leave it at random
+        init behind dead frame/face keys (ADVICE r3)."""
+        import jax
+
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.training import checkpoint
+
+        cfg = affectgpt.AffectGPTConfig.tiny()
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(0), cfg)
+        # forge a legacy payload: modality-keyed mergers, video absent
+        legacy = jax.tree.map(lambda x: x, trainable)
+        legacy["mergers"] = dict(legacy["mergers"])
+        video = legacy["mergers"].pop("video")
+        legacy["mergers"]["frame"] = video
+        legacy["mergers"]["face"] = jax.tree.map(lambda x: x * 7.0, video)
+        path = checkpoint.save_checkpoint(str(tmp_path), 0, legacy, loss=0.5)
+
+        fresh = affectgpt.init_trainable(jax.random.PRNGKey(9), cfg)
+        merged = checkpoint.apply_checkpoint_overlays(fresh, path)
+        assert set(merged["mergers"]) == set(fresh["mergers"]), (
+            "no dead frame/face keys may be inserted"
+        )
+        leaf = lambda t: np.asarray(jax.tree.leaves(t["mergers"]["video"])[0])
+        np.testing.assert_array_equal(leaf(merged), leaf(trainable))
