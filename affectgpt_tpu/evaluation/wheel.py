@@ -231,6 +231,31 @@ class WheelMetrics:
             return 0.0, 0.0
         return float(np.mean(hitrates)), float(np.mean(mscores))
 
+    def hit_or_not_single(self, gt_ov, pred_ov, metric: str) -> bool:
+        """EMERCoarse filter predicate under ONE metric: do gt and pred
+        share at least one wheel cluster after backward mapping? Empty
+        sides count as neutral; a raw 'neutral' item survives mapping
+        (reference func_hit_or_not, wheel.py:588-632)."""
+
+        def prep(ov) -> set:
+            items = string_to_list(ov)
+            if not items:
+                return {"neutral"}
+            mapped = set(self.map_labels(items, metric))
+            if "neutral" in items:
+                mapped.add("neutral")
+            return mapped
+
+        return len(prep(gt_ov) & prep(pred_ov)) >= 1
+
+    def hit_or_not(self, gt_ov, pred_ov, level: str = "level1") -> bool:
+        """Any-wheel hit at the given level — the predicate the reference
+        uses to build the EMERCoarseFilter corpus (ew_metric.py:199-210)."""
+        return any(
+            self.hit_or_not_single(gt_ov, pred_ov, f"case3_{wheel}_{level}")
+            for wheel in WHEELS
+        )
+
     def hitrate_metric(
         self, name2gt: Dict[str, str], name2pred: Dict[str, str], level: str = "level1",
     ) -> float:
