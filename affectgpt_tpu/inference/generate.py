@@ -40,19 +40,32 @@ class GenerateConfig:
     stop_token_ids: Tuple[int, ...] = ()
 
 
+def top_p_mask(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """Boolean keep-mask over [b, vocab] logits with EXACTLY the HF
+    TopPLogitsWarper semantics the reference samples through
+    (conversation_video.py:303-388 generates with do_sample, top_p=0.9):
+    ascending sort, remove tokens whose ascending cumulative probability
+    is <= 1 - top_p (inclusive threshold), always keep the top token
+    (min_tokens_to_keep=1), remove by SORTED POSITION — ties at the
+    nucleus boundary keep only as many members as the mass budget allows,
+    not the whole tie class (the prior threshold-logit formulation kept
+    every tied token; tests/test_generate.py pins the HF warper)."""
+    sorted_idx = jnp.argsort(logits, axis=-1)  # ascending, stable
+    sorted_logits = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    cumulative = jnp.cumsum(jax.nn.softmax(sorted_logits, axis=-1), axis=-1)
+    remove_sorted = cumulative <= (1.0 - top_p)
+    remove_sorted = remove_sorted.at[..., -1].set(False)
+    batch_idx = jnp.arange(logits.shape[0])[:, None]
+    remove = jnp.zeros_like(remove_sorted).at[batch_idx, sorted_idx].set(remove_sorted)
+    return ~remove
+
+
 def top_p_sample(rng: jax.Array, logits: jnp.ndarray, top_p: float, temperature: float) -> jnp.ndarray:
-    """Nucleus sampling over [b, vocab] fp32 logits."""
+    """Nucleus sampling over [b, vocab] fp32 logits (temperature scaling
+    first, then the HF-semantics nucleus mask — the warper order HF
+    generate applies)."""
     logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
-    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cumulative = jnp.cumsum(sorted_probs, axis=-1)
-    # keep the smallest prefix with cumulative mass >= top_p
-    keep_sorted = cumulative - sorted_probs < top_p
-    # threshold logit = smallest kept logit per row
-    threshold = jnp.min(
-        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
-    )
-    masked = jnp.where(logits >= threshold, logits, -jnp.inf)
+    masked = jnp.where(top_p_mask(logits, top_p), logits, -jnp.inf)
     return jax.random.categorical(rng, masked, axis=-1)
 
 

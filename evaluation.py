@@ -29,15 +29,33 @@ DIMENSION = {"CMUMOSI", "CMUMOSEI", "SIMS", "SIMSv2"}
 OV = {"OVMERDPlus", "OVMERD", "MERCaptionPlus", "MER2025OV"}
 
 
-def build_judge(use_llm: bool):
-    if use_llm:
-        from affectgpt_tpu.bootstrap import build_model
-        from affectgpt_tpu.config import Config
-        from affectgpt_tpu.evaluation.judge import LLMJudge
+def build_judge(use_llm: bool, judge_llm: str = "Qwen25"):
+    """LLM judge when real weights exist, lexicon judge otherwise.
 
-        cfg = Config.from_dict({"model": {"llama_model_name": "Qwen25"}})
-        model_cfg, frozen, _, tokenizer = build_model(cfg)
-        return LLMJudge(frozen["llm"], model_cfg.llm, tokenizer)
+    `use_llm=True` with no pretrained weights mounted would hand label
+    extraction to a RANDOM-weight LLM (bootstrap.build_model falls back to
+    random init with only a log line) — garbage scores, silently. Guard:
+    the LLM judge is only built when the weight dir actually exists;
+    otherwise fall back to the deterministic LexiconJudge loudly."""
+    if use_llm:
+        from affectgpt_tpu import paths
+
+        llm_dir = paths.PATH_TO_LLM.get(judge_llm, "")
+        if not (llm_dir and os.path.isdir(llm_dir)):
+            logger.warning(
+                "LLM judge requested but no pretrained %s weights at %r — a "
+                "random-weight LLM would emit meaningless extractions; using "
+                "the deterministic LexiconJudge instead (pass --no-llm to "
+                "silence this warning)", judge_llm, llm_dir,
+            )
+        else:
+            from affectgpt_tpu.bootstrap import build_model
+            from affectgpt_tpu.config import Config
+            from affectgpt_tpu.evaluation.judge import LLMJudge
+
+            cfg = Config.from_dict({"model": {"llama_model_name": judge_llm}})
+            model_cfg, frozen, _, tokenizer = build_model(cfg)
+            return LLMJudge(frozen["llm"], model_cfg.llm, tokenizer)
     from affectgpt_tpu.evaluation.judge import LexiconJudge
 
     return LexiconJudge()

@@ -74,3 +74,32 @@ def test_main_zeroshot_scores(full_env, tmp_path):
     best_epoch, best_score = results["MER2023"]
     assert best_epoch == "2.npz"
     assert best_score > 0.9  # all clips map to the 'joy' cluster
+
+
+def test_llm_judge_refused_without_weights(full_env, tmp_path, caplog):
+    """use_llm=True with no pretrained weights mounted must NOT hand
+    extraction to a random-weight LLM — build_judge falls back to the
+    deterministic LexiconJudge loudly (VERDICT r3 item 4)."""
+    import logging
+
+    sys.path.insert(0, "/root/repo")
+    import evaluation as eval_entry
+    from affectgpt_tpu.evaluation.judge import LexiconJudge
+
+    assert not os.path.isdir(paths.PATH_TO_LLM.get("Qwen25", ""))
+    with caplog.at_level(logging.WARNING):
+        judge = eval_entry.build_judge(use_llm=True)
+    assert isinstance(judge, LexiconJudge)
+    assert any("random-weight" in rec.message for rec in caplog.records)
+
+    # and the end-to-end default path (use_llm defaults True) scores via
+    # the lexicon judge instead of random-LLM output
+    result_root = tmp_path / "results"
+    ds_dir = result_root / "result-mer2023"
+    ds_dir.mkdir(parents=True)
+    np.savez_compressed(
+        ds_dir / "1.npz",
+        name2reason={n: "The person is clearly happy and cheerful." for n in NAMES},
+    )
+    results = eval_entry.main_zeroshot_scores(str(result_root), use_llm=True)
+    assert results["MER2023"][1] > 0.9

@@ -97,6 +97,74 @@ class TestGenerate:
         assert gen.trim_output_text("Assistant: joy</s>") == "joy"
 
 
+class TestTopPWarperParity:
+    """Pin top_p_mask's kept-token SET against transformers'
+    TopPLogitsWarper — the exact warper the reference samples through
+    (conversation_video.py:303-388, do_sample=True top_p=0.9)."""
+
+    @staticmethod
+    def _hf_keep(logits: np.ndarray, top_p: float) -> np.ndarray:
+        import torch
+        from transformers.generation.logits_process import TopPLogitsWarper
+
+        warper = TopPLogitsWarper(top_p=top_p)
+        scores = torch.tensor(logits, dtype=torch.float32)
+        out = warper(None, scores)
+        return np.asarray(out > -1e9 * 0.9)  # filter_value is -inf
+
+    def _assert_parity(self, logits: np.ndarray, top_p: float):
+        mine = np.asarray(gen.top_p_mask(jnp.asarray(logits, jnp.float32), top_p))
+        hf = self._hf_keep(logits, top_p)
+        np.testing.assert_array_equal(mine, hf, err_msg=f"top_p={top_p}")
+
+    def test_random_logits_many_top_p(self):
+        rng = np.random.default_rng(0)
+        for top_p in (0.1, 0.5, 0.9, 0.95, 0.999, 1.0):
+            logits = rng.normal(size=(4, 64)).astype(np.float32) * 3.0
+            self._assert_parity(logits, top_p)
+
+    def test_one_hot_degenerate(self):
+        logits = np.full((2, 16), -30.0, np.float32)
+        logits[0, 3] = 30.0
+        logits[1, 0] = 30.0
+        for top_p in (0.01, 0.9):
+            self._assert_parity(logits, top_p)
+
+    def test_mass_exactly_top_p(self):
+        """Cumulative mass hitting exactly 1-top_p at a boundary — the
+        inclusive-threshold semantics (<=) must match HF."""
+        # probs [0.5, 0.25, 0.125, 0.125] → ascending cum 0.125, 0.25, 0.5, 1.0
+        probs = np.array([[0.5, 0.25, 0.125, 0.125]], np.float32)
+        logits = np.log(probs)
+        for top_p in (0.875, 0.75, 0.5, 0.874999, 0.875001):
+            self._assert_parity(logits, top_p)
+
+    def test_ties_at_threshold_keep_count(self):
+        """Equal logits straddling the nucleus boundary: HF removes by
+        sorted position, so only the kept COUNT (and the non-tied kept
+        members) are well-defined — tie order inside torch.sort is
+        unspecified. Assert count + superset/subset structure."""
+        logits = np.log(np.array([[0.4, 0.15, 0.15, 0.15, 0.15]], np.float32))
+        for top_p in (0.55, 0.7, 0.85):
+            mine = np.asarray(gen.top_p_mask(jnp.asarray(logits, jnp.float32), top_p))
+            hf = self._hf_keep(logits, top_p)
+            assert mine.sum() == hf.sum(), top_p
+            assert mine[0, 0] and hf[0, 0]  # the non-tied top token
+
+    def test_uniform_logits(self):
+        logits = np.zeros((1, 8), np.float32)
+        mine = np.asarray(gen.top_p_mask(jnp.asarray(logits), 0.5))
+        hf = self._hf_keep(logits, 0.5)
+        assert mine.sum() == hf.sum() == 4
+
+    def test_top_token_always_kept(self):
+        rng = np.random.default_rng(7)
+        logits = rng.normal(size=(3, 32)).astype(np.float32)
+        mine = np.asarray(gen.top_p_mask(jnp.asarray(logits), 1e-9))
+        assert (mine.sum(axis=-1) == 1).all()
+        assert (mine[np.arange(3), logits.argmax(-1)]).all()
+
+
 class TestInt8KVCache:
     """int8 quantized KV cache (qwen2.init_cache dtype=int8): decode parity
     vs the bf16/f32 cache and the quantizer contract."""
