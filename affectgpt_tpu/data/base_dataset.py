@@ -22,6 +22,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import logging
+import os
 import random
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -58,6 +59,11 @@ class DatasetConfig:
     # nonverbal (AU) caption text injection (reference base_dataset.py:197-259)
     use_nonverbal_text: bool = False
     nonverbal_json: Optional[str] = None
+    # MER-Factory output root: per-sample AU-analysis JSONs that drive
+    # emotion_peak frame sampling (reference train_configs
+    # ..._face_frame_au_peak.yaml `mer_factory_output`; layout
+    # {root}/{name}/{name}_au_analysis.json, video_processor.py:59-164)
+    mer_factory_output: Optional[str] = None
 
     @classmethod
     def from_cfg(cls, node) -> "DatasetConfig":
@@ -138,6 +144,27 @@ class BaseDataset:
             return entry.get("caption") or entry.get("summary_description")
         return entry
 
+    def get_au_info(self, sample_name: Optional[str]) -> Optional[dict]:
+        """Per-sample MER-Factory AU analysis for emotion_peak sampling
+        (same JSON convention as the feature-precompute CLI,
+        extract_multimodal_features_precompute.py:94-99)."""
+        if (
+            self.cfg.frame_sampling != "emotion_peak"
+            or not self.cfg.mer_factory_output
+            or not sample_name
+        ):
+            return None
+        json_path = os.path.join(
+            self.cfg.mer_factory_output, sample_name, f"{sample_name}_au_analysis.json"
+        )
+        try:
+            with open(json_path) as handle:
+                import json
+
+                return json.load(handle).get("au_info")
+        except OSError:
+            return None
+
     # -- modality loading ------------------------------------------------------------
     def _feature_path(self, modality: str, sample_name: str) -> str:
         encoder = (
@@ -179,6 +206,7 @@ class BaseDataset:
                 out["raw"]["frame"] = media.read_video_frames(
                     self._get_video_path(sample), self.cfg.frame_n_frms,
                     self.cfg.frame_sampling, self.rng,
+                    au_info=self.get_au_info(name),
                 )
             elif m == "face":
                 out["raw"]["face"] = media.read_face_crops(

@@ -1,0 +1,164 @@
+"""Experiment-config matrix smoke tests: every shipped train_configs YAML
+must build its datasets + model and run one real train step end-to-end
+through train.py (VERDICT r3 item 7 — the reference ships 19 train
+configs whose face/frame/AU/Nonverbal/emotion_peak permutations must be
+reproducible by pointing at a file)."""
+
+import glob
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from affectgpt_tpu import paths
+from tests.synth_corpus import NAMES, build_corpus
+
+CONFIGS = sorted(glob.glob(os.path.join("/root/repo", "train_configs", "*.yaml")))
+
+
+@pytest.fixture()
+def matrix_env(tmp_path):
+    """Synthetic corpus + the extra assets the matrix variants need:
+    emotion_peak feature caches, the grained nonverbal JSON, and
+    MER-Factory AU-analysis JSONs."""
+    overrides, feat_root = build_corpus(tmp_path)
+    saved = {k: dict(getattr(paths, k)) for k in overrides}
+    paths.update_from_dict(overrides)
+
+    # emotion_peak-sampled frame features (cache dir name embeds sampling)
+    for ds in ("MERCaptionPlus",):
+        uni = os.path.join(feat_root, ds, "frame_CLIP_VIT_LARGE_uniform_8frms")
+        peak = os.path.join(feat_root, ds, "frame_CLIP_VIT_LARGE_emotion_peak_8frms")
+        shutil.copytree(uni, peak)
+
+    nonverbal = {
+        "MERCaptionPlus": {
+            n: {"caption": f"AU12 lip corner puller on {n}"} for n in NAMES
+        }
+    }
+    nv_path = tmp_path / "grained.json"
+    nv_path.write_text(json.dumps(nonverbal))
+
+    mf_root = tmp_path / "mer_factory_output"
+    for n in NAMES:
+        d = mf_root / n
+        d.mkdir(parents=True)
+        (d / f"{n}_au_analysis.json").write_text(json.dumps({
+            "au_info": {
+                "total_frames": 40,
+                "peak_frames": [
+                    {"peak_index": 20, "frames_before_peak": 20, "frames_after_peak": 19}
+                ],
+            }
+        }))
+
+    yield {"feat_root": feat_root, "nonverbal_json": str(nv_path),
+           "mer_factory_output": str(mf_root), "tmp": tmp_path}
+    for k, v in saved.items():
+        getattr(paths, k).clear()
+        getattr(paths, k).update(v)
+
+
+def test_matrix_is_shipped():
+    """>= 7 configs covering the reference's key permutations."""
+    names = [os.path.basename(p) for p in CONFIGS]
+    assert len(names) >= 7
+    for needle in ("face_frame_au_Nonverbal", "face_au_Nonverbal",
+                   "face_frame_au_peak", "face_frame_peak", "face_frame_au",
+                   "face_frame"):
+        assert any(needle in n for n in names), needle
+
+
+@pytest.mark.parametrize("cfg_path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
+def test_config_builds_and_trains_one_step(cfg_path, matrix_env, monkeypatch):
+    raw = yaml.safe_load(open(cfg_path))
+    assert set(raw) == {"model", "datasets", "run", "inference"}
+    ds_node = raw["datasets"]["mercaptionplus"]
+
+    # tiny-geometry + synthetic-path overrides; every behavioral knob
+    # (face_or_frame, sampling, nonverbal, fusion types) comes from the
+    # SHIPPED file
+    options = [
+        "model.preextracted_visual_dim=12",
+        "model.preextracted_acoustic_dim=16",
+        "model.num_video_query_token=2",
+        "model.num_audio_query_token=2",
+        "model.num_multi_query_token=1",
+        "model.lora_r=2",
+        "model.max_length=1024",
+        "datasets.mercaptionplus.max_length=1024",
+        f"datasets.mercaptionplus.preextracted_root={matrix_env['feat_root']}",
+        "run.max_epoch=1",
+        "run.iters_per_epoch=1",
+        "run.batch_size_train=2",
+        "run.warmup_steps=0",
+        "run.log_freq=1",
+        f"run.output_dir={matrix_env['tmp'] / 'out'}",
+    ]
+    if ds_node.get("nonverbal_json"):
+        options.append(
+            f"datasets.mercaptionplus.nonverbal_json={matrix_env['nonverbal_json']}"
+        )
+    if ds_node.get("mer_factory_output"):
+        options.append(
+            f"datasets.mercaptionplus.mer_factory_output={matrix_env['mer_factory_output']}"
+        )
+
+    monkeypatch.setattr(
+        sys, "argv", ["train.py", "--cfg-path", cfg_path, "--options", *options]
+    )
+    sys.path.insert(0, "/root/repo")
+    import train as train_entry
+
+    train_entry.main()
+
+    out_root = matrix_env["tmp"] / "out" / os.path.splitext(os.path.basename(cfg_path))[0]
+    ckpts = [p for job in out_root.iterdir() for p in job.iterdir()
+             if p.name.startswith("checkpoint_")]
+    assert ckpts, "train step must produce a checkpoint"
+
+
+def test_emotion_peak_au_info_flows_to_sampler(matrix_env, monkeypatch):
+    """The mer_factory_output knob: get_au_info loads the per-sample AU
+    JSON and the frame loader receives it (emotion_peak live path)."""
+    from affectgpt_tpu import registry
+    from affectgpt_tpu.data import media
+    from affectgpt_tpu.data.base_dataset import DatasetConfig, ModelDataConfig
+    from affectgpt_tpu.data.datasets import get_dataset_class  # noqa: F401
+    from affectgpt_tpu.tokenization import ByteTokenizer
+
+    cfg = DatasetConfig(
+        face_or_frame="frame_text", frame_sampling="emotion_peak",
+        mer_factory_output=matrix_env["mer_factory_output"],
+    )
+    ds = registry.get("dataset", "MERCaptionPlus")(
+        ByteTokenizer(), cfg, ModelDataConfig()
+    )
+    au = ds.get_au_info(NAMES[0])
+    assert au and au["peak_frames"][0]["peak_index"] == 20
+
+    seen = {}
+
+    def fake_read(video_path, n_frms=8, sampling_name="uniform", rng=None, au_info=None):
+        seen["au_info"] = au_info
+        seen["sampling"] = sampling_name
+        return np.zeros((n_frms, 8, 8, 3), np.uint8)
+
+    monkeypatch.setattr(media, "read_video_frames", fake_read)
+    ds.load_modalities({"name": NAMES[0]})
+    assert seen["sampling"] == "emotion_peak"
+    assert seen["au_info"] == au
+
+    # uniform sampling must NOT hit the MER-Factory tree
+    cfg2 = DatasetConfig(
+        face_or_frame="frame_text", frame_sampling="uniform",
+        mer_factory_output=matrix_env["mer_factory_output"],
+    )
+    ds2 = registry.get("dataset", "MERCaptionPlus")(
+        ByteTokenizer(), cfg2, ModelDataConfig()
+    )
+    assert ds2.get_au_info(NAMES[0]) is None
