@@ -42,6 +42,52 @@ class TokenizerWrapper:
         return self.hf.decode(list(ids), skip_special_tokens=skip_special_tokens)
 
 
+def load_sentencepiece_fast(model_dir: str):
+    """Load a sentencepiece `tokenizer.model` WITHOUT the sentencepiece
+    wheel (absent from this image): parse the ModelProto with protobuf
+    (transformers vendors the schema) and convert it to a fast tokenizer
+    through the stock Llama SpmConverter. Covers unigram-type models; a
+    BPE-type .model still needs the real sentencepiece wheel (the
+    converter's SentencePieceExtractor requires it)."""
+    import os
+
+    from transformers import PreTrainedTokenizerFast
+    from transformers.convert_slow_tokenizer import LlamaConverter
+
+    try:
+        from transformers.utils import sentencepiece_model_pb2_new as sp_pb2
+    except ImportError:  # older transformers layout
+        from transformers.utils import sentencepiece_model_pb2 as sp_pb2
+
+    vocab_file = os.path.join(model_dir, "tokenizer.model")
+    proto = sp_pb2.ModelProto()
+    with open(vocab_file, "rb") as handle:
+        proto.ParseFromString(handle.read())
+    pieces = [p.piece for p in proto.pieces]
+    spec = proto.trainer_spec
+
+    class _Slowless:
+        """Duck-typed stand-in for the slow tokenizer the converter
+        normally wraps — it only reads vocab_file, the bos/eos flags and
+        convert_ids_to_tokens for the special ids."""
+
+        def __init__(self):
+            self.vocab_file = vocab_file
+            self.add_bos_token = True
+            self.add_eos_token = False
+
+        def convert_ids_to_tokens(self, index):
+            return pieces[index]
+
+    backend = LlamaConverter(_Slowless()).converted()
+    return PreTrainedTokenizerFast(
+        tokenizer_object=backend,
+        unk_token=pieces[spec.unk_id] if spec.unk_id >= 0 else None,
+        bos_token=pieces[spec.bos_id] if spec.bos_id >= 0 else None,
+        eos_token=pieces[spec.eos_id] if spec.eos_id >= 0 else None,
+    )
+
+
 def load_tokenizer(model_name: str) -> TokenizerWrapper:
     """Load the LLM tokenizer and register patch tokens (reference:
     models/tokenizer.py:31-45)."""
@@ -50,9 +96,18 @@ def load_tokenizer(model_name: str) -> TokenizerWrapper:
     if model_name == "Baichuan2":
         # Baichuan2 ships a sentencepiece tokenizer behind remote code
         # (reference tokenizer.py:32-33: use_fast=False, trust_remote_code)
-        tokenizer = AutoTokenizer.from_pretrained(
-            paths.PATH_TO_LLM[model_name], use_fast=False, trust_remote_code=True
-        )
+        try:
+            tokenizer = AutoTokenizer.from_pretrained(
+                paths.PATH_TO_LLM[model_name], use_fast=False, trust_remote_code=True
+            )
+        except ImportError:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "sentencepiece wheel unavailable — loading %s tokenizer.model "
+                "via the protobuf fast-converter fallback", model_name,
+            )
+            tokenizer = load_sentencepiece_fast(paths.PATH_TO_LLM[model_name])
     else:
         tokenizer = AutoTokenizer.from_pretrained(paths.PATH_TO_LLM[model_name], use_fast=True)
     if model_name in ("Qwen2", "Qwen25"):

@@ -81,8 +81,30 @@ def _build_reference_model(fusion: str = "attention", llm: str = "Qwen25",
             torch.manual_seed(0)
             if llm == "Llama2":  # the reference's alternate family: no qkv bias
                 return LlamaForCausalLM(LlamaConfig(**geom)).float()
+            if llm == "Baichuan2":
+                # trust-remote-code-free stand-in (reference affectgpt.py:
+                # 92-97 loads Baichuan2 via trust_remote_code): Baichuan2-7B
+                # decoder math IS Llama (rope, no qkv bias) but MHA, with
+                # NormHead — lm_head rows L2-normalized at every forward.
+                # Weights are static in this oracle, so fold it once here.
+                geom["num_key_value_heads"] = 4
+                model = LlamaForCausalLM(LlamaConfig(**geom)).float()
+                with torch.no_grad():
+                    w = model.lm_head.weight
+                    # non-trivial row norms so the fold is actually tested
+                    w.mul_(1.0 + torch.rand(w.shape[0], 1))
+                    model.lm_head.weight.copy_(
+                        w / w.norm(dim=-1, keepdim=True).clamp_min(1e-7)
+                    )
+                return model
             return Qwen2ForCausalLM(Qwen2Config(**geom)).float()
 
+        import config as ref_config
+
+        # the reference config table has no Baichuan2 entry; the fake
+        # from_pretrained ignores the path anyway
+        saved_llm_paths = dict(ref_config.PATH_TO_LLM)
+        ref_config.PATH_TO_LLM.setdefault(llm, f"/nonexistent/{llm}")
         saved_tok = ref_mod.load_tokenizer_from_LLM
         saved_fp = ref_mod.AutoModelForCausalLM.from_pretrained
         saved_bert_fp = ref_mod.BertConfig.from_pretrained
@@ -117,6 +139,8 @@ def _build_reference_model(fusion: str = "attention", llm: str = "Qwen25",
                 skip_encoders=True,
             )
         finally:
+            ref_config.PATH_TO_LLM.clear()
+            ref_config.PATH_TO_LLM.update(saved_llm_paths)
             ref_mod.load_tokenizer_from_LLM = saved_tok
             ref_mod.AutoModelForCausalLM.from_pretrained = saved_fp
             ref_mod.BertConfig.from_pretrained = saved_bert_fp
@@ -686,3 +710,137 @@ def test_qformer_4d_realtime_merge_parity(oracle_qformer):
     np.testing.assert_allclose(
         np.asarray(ours), ref_llms.numpy(), atol=2e-4, rtol=2e-4
     )
+
+
+def test_baichuan2_family_assembled_loss_and_greedy_parity(tmp_path):
+    """The reference's THIRD LLM family (llama_model_name='Baichuan2',
+    affectgpt.py:92-97 trust_remote_code branch) assembled end-to-end:
+    loss + greedy parity through the full merger/splice/LoRA stack at
+    Baichuan2 geometry (MHA, no qkv bias, NormHead), PLUS a converter
+    cross-check — convert_baichuan2 on a fused-W_pack/raw-NormHead layout
+    must produce the exact llm tree the assembled converter produced from
+    the split layout."""
+    ref_model = _build_reference_model(llm="Baichuan2")
+    tree = convert.convert_reference_affectgpt(ref_model.state_dict())
+    from dataclasses import replace
+
+    llm_cfg = replace(qwen2.QwenConfig.tiny(lora_r=2),
+                      lora_alpha=32.0, qkv_bias=False, num_kv_heads=4)
+    cfg = replace(
+        affectgpt.AffectGPTConfig.tiny(),
+        llm=llm_cfg, visual_dim=VIS_DIM, acoustic_dim=AC_DIM,
+    )
+
+    # --- converter cross-check: export the SAME weights in Baichuan2's
+    # on-disk layout (fused W_pack, raw unnormalized NormHead rows) and
+    # run convert_baichuan2 over it ---
+    import json
+
+    base = ref_model.llama_model.base_model.model  # peft wrapper -> LlamaForCausalLM
+    sd = {k: v.detach().clone() for k, v in base.state_dict().items()}
+    bc_state = {}
+    for i in range(2):
+        p = f"model.layers.{i}"
+        bc_state[f"{p}.self_attn.W_pack.weight"] = torch.cat(
+            [sd[f"{p}.self_attn.{n}_proj.base_layer.weight"] for n in ("q", "k", "v")],
+            dim=0,
+        )
+        for k in ("self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj"):
+            bc_state[f"{p}.{k}.weight"] = sd[f"{p}.{k}.base_layer.weight"]
+        bc_state[f"{p}.input_layernorm.weight"] = sd[f"{p}.input_layernorm.weight"]
+        bc_state[f"{p}.post_attention_layernorm.weight"] = sd[f"{p}.post_attention_layernorm.weight"]
+    bc_state["model.embed_tokens.weight"] = sd["model.embed_tokens.weight"]
+    bc_state["model.norm.weight"] = sd["model.norm.weight"]
+    # raw head with non-trivial row norms; its normalized rows equal the
+    # stand-in's (already unit-norm) lm_head rows, which is exactly what
+    # Baichuan2's NormHead computes at forward time
+    torch.manual_seed(23)
+    head = sd["lm_head.weight"]
+    bc_state["lm_head.weight"] = head * (1.0 + torch.rand(head.shape[0], 1))
+    model_dir = tmp_path / "baichuan2"
+    model_dir.mkdir()
+    torch.save(bc_state, model_dir / "pytorch_model.bin")
+    (model_dir / "config.json").write_text(json.dumps({
+        "architectures": ["BaichuanForCausalLM"],
+        "vocab_size": VOCAB, "hidden_size": HID, "intermediate_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "rms_norm_eps": 1e-6, "rope_theta": 10_000.0,
+    }))
+    bc_params = convert.convert_baichuan2(str(model_dir))
+    bc_cfg = convert.llm_config_from_hf(str(model_dir), lora_r=2)
+    assert not bc_cfg.qkv_bias and bc_cfg.num_kv_heads == bc_cfg.num_heads == 4
+    flat_bc = dict(jax.tree_util.tree_flatten_with_path(bc_params)[0])
+    flat_ref = dict(jax.tree_util.tree_flatten_with_path(tree["frozen"]["llm"])[0])
+    assert set(flat_bc) == set(flat_ref)
+    for path, leaf in flat_ref.items():
+        np.testing.assert_allclose(
+            np.asarray(flat_bc[path]), np.asarray(leaf), atol=1e-6,
+            err_msg=f"W_pack/NormHead converter diverged at {jax.tree_util.keystr(path)}",
+        )
+
+    # --- assembled loss parity (serve through the convert_baichuan2 tree
+    # to prove the real checkpoint-loading path end-to-end) ---
+    rng = np.random.default_rng(53)
+    ids, attn, labels, feats, offs = _make_batch(rng)
+    with torch.no_grad():
+        ref_loss = ref_model(_ref_samples(ids, attn, labels, feats))["loss"].item()
+    frozen = {"llm": jax.tree.map(jnp.asarray, bc_params)}
+    trainable = jax.tree.map(jnp.asarray, tree["trainable"])
+    our_loss = float(
+        affectgpt.forward_loss(
+            frozen, trainable, cfg, _our_batch(ids, attn, labels, feats, offs)
+        )
+    )
+    assert abs(ref_loss - our_loss) < 1e-3, (ref_loss, our_loss)
+
+    # --- greedy continuation parity ---
+    t_prompt = 23
+    ids_p = ids[:, :t_prompt]
+    ids_zeroed = ids_p.copy()
+    for pid in PATCH.values():
+        ids_zeroed[ids_zeroed == pid] = 0
+    prompt_embeds = affectgpt.build_inputs_embeds(
+        frozen, trainable, cfg,
+        jnp.asarray(ids_zeroed, dtype=jnp.int32),
+        {m: jnp.asarray(v) for m, v in feats.items()},
+        {m: jnp.full((ids.shape[0],), off, dtype=jnp.int32) for m, off in offs.items()},
+    )
+    max_new = 6
+    gen_cfg = gen_mod.GenerateConfig(
+        max_new_tokens=max_new, do_sample=False, eos_token_id=2, stop_token_ids=()
+    )
+    b = ids.shape[0]
+    tokens, num_valid = gen_mod.generate(
+        frozen["llm"], cfg.llm, gen_cfg,
+        prompt_embeds.astype(jnp.float32),
+        jnp.full((b,), t_prompt, dtype=jnp.int32),
+        jax.random.PRNGKey(0), max_len=t_prompt + max_new,
+        lora=trainable["lora"],
+    )
+    tokens, num_valid = np.asarray(tokens), np.asarray(num_valid)
+    with torch.no_grad():
+        temp = torch.from_numpy(ids_zeroed)
+        embeds = ref_model.llama_model.model.model.embed_tokens(temp)
+        blocks = {}
+        _, blocks["frame"] = ref_model.encode_video_merge(
+            torch.from_numpy(feats["frame"]), None, is_preextracted=True)
+        face_h, blocks["face"] = ref_model.encode_video_merge(
+            torch.from_numpy(feats["face"]), None, is_preextracted=True)
+        audio_h, blocks["audio"] = ref_model.encode_audio_merge(
+            torch.from_numpy(feats["audio"]), None, is_preextracted=True)
+        _, blocks["multi"] = ref_model.encode_multi_merge(face_h, audio_h)
+        for m, off in offs.items():
+            q = blocks[m].shape[1]
+            embeds = torch.cat(
+                [embeds[:, :off], blocks[m], embeds[:, off + q:]], dim=1)
+        ref_out = ref_model.llama_model.generate(
+            inputs_embeds=embeds,
+            attention_mask=torch.ones(b, t_prompt, dtype=torch.long),
+            do_sample=False, num_beams=1, max_new_tokens=max_new,
+            pad_token_id=0, eos_token_id=2,
+        )
+    ref_tokens = np.asarray(ref_out)
+    for row in range(b):
+        n = int(num_valid[row])
+        assert n >= 1
+        np.testing.assert_array_equal(tokens[row, :n], ref_tokens[row, :n])
