@@ -36,6 +36,9 @@ ATTN_IMPL = os.environ.get("CLIP_ATTN", "auto")
 # MLP implementation for the vision tower: "auto" = the two fused
 # weight-resident Pallas calls (LN+fc1+quick_gelu, fc2+residual —
 # ops/vit_mlp_pallas) whenever the attention sublayer kernel is active;
+# "fused" = the single-call row-blocked kernel with NO HBM intermediate
+# (ops/vit_mlp_fused_pallas — streams fc1/fc2 chunks per row block,
+# ~12 vs ~24 KB/row of HBM traffic; opt-in pending a TPU A/B);
 # "xla" = op-by-op.
 MLP_IMPL = os.environ.get("CLIP_MLP", "auto")
 
@@ -140,9 +143,13 @@ def _apply_block(block, x, num_heads: int, eps: float, mask=None, valid_len=None
             # path): keep padded keys out of the softmax
             mask = (jnp.arange(x.shape[1]) < valid_len)[None, None, None, :]
         x = x + nn.mha(block["attn"], h, h, num_heads, mask)
-    if impl == "sublayer" and MLP_IMPL == "auto" and "w" in block["mlp_in"]:
+    if impl == "sublayer" and MLP_IMPL in ("auto", "fused") and "w" in block["mlp_in"]:
         # same residency conditions as the attention kernel (TPU, bf16
         # "w" weights, padded layout) — verified by the impl demotion above
+        if MLP_IMPL == "fused":
+            from affectgpt_tpu.ops import vit_mlp_fused_pallas
+
+            return vit_mlp_fused_pallas.apply(block, x, eps)
         from affectgpt_tpu.ops import vit_mlp_pallas
 
         return vit_mlp_pallas.apply(block, x, eps)

@@ -204,7 +204,7 @@ def encode(
     t_valid = x.shape[1]
     use_sublayer = _use_sublayer(cfg, params)
     use_mlp_kernel = (
-        MLP_IMPL == "pallas"
+        MLP_IMPL in ("pallas", "fused")
         and jax.default_backend() == "tpu"
         and "w" in params["layers"][0]["ffn_in"]
     )
@@ -233,9 +233,14 @@ def encode(
             else:
                 x = x + nn.mha(layer["attn"], h, h, cfg.num_heads)
         if use_mlp_kernel:
-            from affectgpt_tpu.ops import vit_mlp_pallas
+            if MLP_IMPL == "fused":
+                from affectgpt_tpu.ops import vit_mlp_fused_pallas
 
-            x = vit_mlp_pallas.apply_hubert(layer, x, cfg.layer_norm_eps)
+                x = vit_mlp_fused_pallas.apply_hubert(layer, x, cfg.layer_norm_eps)
+            else:
+                from affectgpt_tpu.ops import vit_mlp_pallas
+
+                x = vit_mlp_pallas.apply_hubert(layer, x, cfg.layer_norm_eps)
         else:
             h = nn.layernorm(layer["ffn_ln"], x, cfg.layer_norm_eps)
             x = x + nn.dense(layer["ffn_out"], nn.gelu(nn.dense(layer["ffn_in"], h)))
