@@ -58,6 +58,8 @@ def _kernel_bf16acc(x_ref, lns_ref, lnb_ref, wi_ref, bi_ref, wo_ref, bo_ref,
     h = h * lns_ref[0].astype(jnp.float32) + lnb_ref[0].astype(jnp.float32)
     t = jnp.dot(h.astype(x_ref.dtype), wi_ref[...], preferred_element_type=jnp.float32)
     t = _act(t + bi_ref[0].astype(jnp.float32), act)
+    # Mosaic requires a 32-bit matmul accumulator (a bf16
+    # preferred_element_type dot fails 'Expected matmul acc to be 32-bit')
     partial = jnp.dot(
         t.astype(x_ref.dtype), wo_ref[...], preferred_element_type=jnp.float32
     )
@@ -174,7 +176,9 @@ def _settings():
     """(block_rows, k_chunks, acc) from env; f32 accumulation halves the
     row block to fit the scratch in VMEM."""
     acc = os.environ.get("VIT_MLP_FUSED_ACC", "bf16")
-    bm = int(os.environ.get("VIT_MLP_FUSED_ROWS", "1024" if acc == "f32" else "2048"))
+    # bm=1024 is the largest row block the 16 MB VMEM scope fits with the
+    # f32 LN/gelu temporaries (2048 measured 18 MB > 16 MB limit)
+    bm = int(os.environ.get("VIT_MLP_FUSED_ROWS", "768" if acc == "f32" else "1024"))
     return bm, int(os.environ.get("VIT_MLP_FUSED_K", "8")), acc
 
 
