@@ -176,9 +176,13 @@ def _settings():
     """(block_rows, k_chunks, acc) from env; f32 accumulation halves the
     row block to fit the scratch in VMEM."""
     acc = os.environ.get("VIT_MLP_FUSED_ACC", "bf16")
-    # bm=1024 is the largest row block the 16 MB VMEM scope fits with the
-    # f32 LN/gelu temporaries (2048 measured 18 MB > 16 MB limit)
-    bm = int(os.environ.get("VIT_MLP_FUSED_ROWS", "768" if acc == "f32" else "1024"))
+    # bm=768 is the largest row block the 16 MB VMEM scope compiles on
+    # v5e (measured: bm2048/K8 18.0 MB, bm1024/K8 18.64 MB, bm1024/K32
+    # 16.5 MB — all OOM; the f32 matmul accumulator + LN temporaries +
+    # double-buffered chunk DMAs are the floor). See the close-out note
+    # in CLAUDE.md: break-even vs the two-call pair needs bm >= ~1024, so
+    # this kernel cannot win on v5e and stays opt-in.
+    bm = int(os.environ.get("VIT_MLP_FUSED_ROWS", "768"))
     return bm, int(os.environ.get("VIT_MLP_FUSED_K", "8")), acc
 
 
