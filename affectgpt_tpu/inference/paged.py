@@ -658,9 +658,25 @@ class PagedBatchServer:
             [s["tokens"][-1] for _, s in live] + [0] * n_pad, jnp.int32
         )
         positions = jnp.asarray([s["pos"] for _, s in live] + [0] * n_pad, jnp.int32)
+        # gather-width bucketing: the decode attention gathers EVERY table
+        # column (pool_k[block_tables] is shape-static), so an
+        # over-provisioned max_blocks_per_seq (capacity configs size tables
+        # for max_seq_len while live sequences are short) reads dead pages
+        # every step. Slice tables to the next power-of-two width covering
+        # max live pos + burst — ≤ log2(max_blocks) compiled variants.
+        width = self.pcfg.max_blocks_per_seq
+        if os.environ.get("PAGED_GATHER_BUCKET", "1") != "0":
+            need = -(-(max(s["pos"] for _, s in live) + k) // self.pcfg.block_size)
+            width = 1
+            while width < need:
+                width *= 2
+            width = min(width, self.pcfg.max_blocks_per_seq)
+            self.stats["gather_width_tokens"] = self.stats.get(
+                "gather_width_tokens", 0
+            ) + width * self.pcfg.block_size * k
         tables = jnp.asarray(np.stack(
-            [s["padded"] for _, s in live]
-            + [np.zeros(self.pcfg.max_blocks_per_seq, np.int32)] * n_pad
+            [s["padded"][:width] for _, s in live]
+            + [np.zeros(width, np.int32)] * n_pad
         ))
         self.rng, key = jax.random.split(self.rng)
         t_dec0 = time.perf_counter()

@@ -108,7 +108,11 @@ def main():
                       "batch": DENSE_BATCH}), flush=True)
 
     # ---- paged path: stream the same requests through the engine ----
-    max_tokens = PROMPT_LEN + NEW
+    # PAGED_MAX_TOKENS over-provisions per-sequence tables beyond the
+    # workload's need (capacity configs size tables for max_seq_len while
+    # live sequences stay short) — the regime gather-width bucketing
+    # (PAGED_GATHER_BUCKET) exists for.
+    max_tokens = int(os.environ.get("PAGED_MAX_TOKENS", PROMPT_LEN + NEW))
     block = int(os.environ.get("PAGED_BLOCK", 16))
     pcfg = PagedConfig(
         block_size=block,

@@ -454,3 +454,40 @@ class TestFusedDecodeKernels:
         ) is None, "gate must DISENGAGE with the interpret env off (CPU)"
         unfused_logits, _ = run()
         np.testing.assert_allclose(fused_logits, unfused_logits, atol=2e-3, rtol=2e-3)
+
+
+class TestGatherWidthBucketing:
+    def test_bucketed_tables_match_full_width(self, monkeypatch):
+        """Gather-width bucketing (tables sliced to the live power-of-two
+        width) must produce identical tokens to full-width tables — the
+        slice only removes pages no live position can index."""
+        from affectgpt_tpu.inference.paged import PagedBatchServer, PagedConfig
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        tok = ByteTokenizer()
+        # tables over-provisioned 4x: max_blocks 16 (64 tokens) vs
+        # requests needing ceil((9+8)/4) = 5 blocks
+        pcfg = PagedConfig(block_size=4, num_blocks=128, max_blocks_per_seq=16)
+
+        def run():
+            server = PagedBatchServer(
+                frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=4
+            )
+            for rid in range(4):
+                server.submit(_make_affectgpt_req(acfg, rid, 9, max_new_tokens=8))
+            out = server.run_until_drained()
+            return out, server.stats
+
+        monkeypatch.setenv("PAGED_GATHER_BUCKET", "0")
+        full, full_stats = run()
+        assert "gather_width_tokens" not in full_stats
+        monkeypatch.setenv("PAGED_GATHER_BUCKET", "1")
+        bucketed, b_stats = run()
+        assert bucketed == full
+        # the sliced width must actually have been narrower than max_blocks
+        steps = b_stats["decode_steps"]
+        assert b_stats["gather_width_tokens"] < steps * pcfg.max_seq_len
