@@ -158,11 +158,17 @@ class Chat:
         max_new_tokens: int = 300,
         do_sample: bool = True,
         top_p: float = 0.9,
+        temperature: float = 1.0,
+        repetition_penalty: float = 1.0,
         nonverbal_texts: Optional[List[Optional[str]]] = None,
     ) -> List[str]:
         """Batched clip→text: the reference answer_sample semantics
-        (sampling, top-p 0.9, '###'/eos stop, conversation_video.py:303-388)
-        over a whole batch at once."""
+        (sampling, top-p 0.9, temperature/repetition_penalty kwargs with
+        1.0 defaults, '###'/eos stop, conversation_video.py:303-388)
+        over a whole batch at once. With repetition_penalty != 1.0 only
+        GENERATED tokens are penalized (spliced multimodal prompts carry
+        patch placeholders, so prompt ids are not HF-meaningful here; the
+        reference never sets the penalty on this path)."""
         ids, lengths, offsets = self.build_prompt_batch(
             face_or_frame, subtitles, user_message, nonverbal_texts
         )
@@ -170,12 +176,16 @@ class Chat:
             max_new_tokens=max_new_tokens,
             do_sample=do_sample,
             top_p=top_p,
+            temperature=temperature,
+            repetition_penalty=repetition_penalty,
             eos_token_id=self.tokenizer.eos_token_id,
         )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         max_len = self.max_len
         cache_dtype = jnp.int8 if self.kv_cache_dtype == "int8" else None
-        if self.speculative_draft_len > 0 and not do_sample:
+        # the speculative path is greedy-only and has no penalty support —
+        # penalized requests take the plain compiled decode
+        if self.speculative_draft_len > 0 and not do_sample and repetition_penalty == 1.0:
             tokens, num_valid = _answer_spec_jit(
                 self.frozen, self.trainable, self.cfg, gcfg,
                 jnp.asarray(ids), {m: jnp.asarray(v) for m, v in offsets.items()},

@@ -38,6 +38,35 @@ class GenerateConfig:
     eos_token_id: int = 0
     # extra ids that terminate a row (single-token stops); -1 entries ignored
     stop_token_ids: Tuple[int, ...] = ()
+    # HF RepetitionPenaltyLogitsProcessor semantics; 1.0 = off (free).
+    # The reference's AU agent generates with 1.1 (my_affectgpt/models/
+    # au_agent.py:191); its multimodal path uses the 1.0 default
+    # (conversation_video.py:304).
+    repetition_penalty: float = 1.0
+
+
+def apply_repetition_penalty(
+    logits: jnp.ndarray, seen: jnp.ndarray, penalty: float
+) -> jnp.ndarray:
+    """Exact HF RepetitionPenaltyLogitsProcessor math on [b, vocab] logits:
+    for every token already present in the sequence (`seen` bool mask),
+    score<0 → score*penalty, else score/penalty (transformers
+    logits_process.py RepetitionPenaltyLogitsProcessor.__call__)."""
+    logits = logits.astype(jnp.float32)
+    penalized = jnp.where(logits < 0, logits * penalty, logits / penalty)
+    return jnp.where(seen, penalized, logits)
+
+
+def _seen_from_prompt(prompt_ids, prompt_lengths, b, t_pad, vocab):
+    """[b, vocab] bool presence mask of prompt tokens (padding excluded —
+    the reference tokenizes unpadded batch-1 prompts, au_agent.py:181, so
+    pad ids never reach HF's penalty there either)."""
+    valid = jnp.arange(t_pad)[None, :] < prompt_lengths[:, None]
+    # scatter invalid positions into a sacrificial column, then drop it
+    clamped = jnp.where(valid, prompt_ids, vocab).astype(jnp.int32)
+    seen = jnp.zeros((b, vocab + 1), bool)
+    seen = seen.at[jnp.arange(b)[:, None], clamped].set(True)
+    return seen[:, :vocab]
 
 
 def top_p_mask(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
@@ -90,11 +119,18 @@ def generate(
     lora: Optional[dict] = None,
     decode_llm: Optional[dict] = None,
     cache_dtype=None,
+    prompt_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate continuations for a batch of spliced prompt embeddings.
 
     prompt_embeds [b, t_pad, d] right-padded; prompt_lengths [b].
     max_len must be >= t_pad + max_new_tokens (KV-cache capacity).
+    prompt_ids [b, t_pad] (right-padded, optional): only consulted when
+    gen_cfg.repetition_penalty != 1.0 — HF penalizes prompt AND generated
+    tokens, so full parity needs the ids; without them only generated
+    tokens are penalized (documented delta). Multimodal patch positions
+    may carry placeholder ids; the reference only uses the penalty on the
+    text-only AU-agent path where ids are exact.
     decode_llm: optional second weight copy used ONLY inside the decode
     scan — pass int8-quantized weights (qwen2.quantize_params) to run
     bf16 prefill (compute-bound, MXU wants bf16) with int8 decode
@@ -132,14 +168,30 @@ def generate(
     )
     step_llm = decode_llm if decode_llm is not None else frozen_llm
 
+    use_rp = gen_cfg.repetition_penalty != 1.0  # static: off costs nothing
+    if use_rp:
+        vocab = last_logits.shape[-1]
+        if prompt_ids is not None:
+            seen0 = _seen_from_prompt(prompt_ids, prompt_lengths, b, t_pad, vocab)
+        else:
+            seen0 = jnp.zeros((b, vocab), bool)
+    else:
+        seen0 = jnp.zeros((b, 1), bool)  # inert carry placeholder
+
     def step(carry, step_idx):
-        cache, cur_logits, done, rng, cur_pos = carry
+        cache, cur_logits, done, rng, cur_pos, seen = carry
         rng, sample_key = jax.random.split(rng)
+        if use_rp:
+            cur_logits = apply_repetition_penalty(
+                cur_logits, seen, gen_cfg.repetition_penalty
+            )
         if gen_cfg.do_sample:
             token = top_p_sample(sample_key, cur_logits, gen_cfg.top_p, gen_cfg.temperature)
         else:
             token = jnp.argmax(cur_logits, axis=-1)
         token = jnp.where(done, gen_cfg.eos_token_id, token).astype(jnp.int32)
+        if use_rp:  # the emitted token joins the penalized set for later steps
+            seen = seen.at[jnp.arange(b), token].set(True)
         new_done = done | jnp.any(token[:, None] == stop_ids[None, :], axis=-1)
 
         # embed + one decode step at shared cache column
@@ -153,11 +205,11 @@ def generate(
             lora=lora, positions=cur_pos[:, None], cache=cache,
             cache_index=write_idx,
         )
-        return (cache, logits_d[:, 0, :], new_done, rng, cur_pos + 1), token
+        return (cache, logits_d[:, 0, :], new_done, rng, cur_pos + 1, seen), token
 
     init_pos = prompt_lengths.astype(jnp.int32)  # next position per row
-    init = (cache, last_logits, jnp.zeros((b,), dtype=bool), rng, init_pos)
-    (_, _, done, _, _), tokens = jax.lax.scan(
+    init = (cache, last_logits, jnp.zeros((b,), dtype=bool), rng, init_pos, seen0)
+    (_, _, done, _, _, _), tokens = jax.lax.scan(
         step, init, jnp.arange(gen_cfg.max_new_tokens, dtype=jnp.int32)
     )
     tokens = tokens.T  # [b, max_new_tokens]
@@ -214,6 +266,10 @@ def generate_speculative(
     Returns (tokens [b, max_new_tokens], num_valid [b]) like `generate`.
     """
     assert not gen_cfg.do_sample, "speculative decoding is greedy-only"
+    assert gen_cfg.repetition_penalty == 1.0, (
+        "repetition_penalty is not supported on the speculative path "
+        "(the reference only penalizes on the sampled AU-agent path)"
+    )
     b, t_pad, _ = prompt_embeds.shape
     max_new = gen_cfg.max_new_tokens
     d = draft_len

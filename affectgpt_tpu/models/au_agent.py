@@ -104,6 +104,9 @@ class AUAgent:
     max_new_tokens: int = 256
     temperature: float = 0.7
     top_p: float = 0.9
+    # the reference AU agent generates with repetition_penalty=1.1
+    # (my_affectgpt/models/au_agent.py:191) — HF-processor-exact here
+    repetition_penalty: float = 1.1
 
     def generate_descriptions(
         self,
@@ -141,12 +144,15 @@ class AUAgent:
                 max_new_tokens=self.max_new_tokens, do_sample=True,
                 temperature=self.temperature, top_p=self.top_p,
                 eos_token_id=self.tokenizer.eos_token_id,
+                repetition_penalty=self.repetition_penalty,
             )
-            embeds = qwen2.embed_tokens(self.frozen_llm, jnp.asarray(ids))
+            ids_dev = jnp.asarray(ids)
+            embeds = qwen2.embed_tokens(self.frozen_llm, ids_dev)
             tokens, num_valid = gen.generate(
                 self.frozen_llm, self.llm_cfg, gcfg, embeds, jnp.asarray(lengths),
                 rng if rng is not None else jax.random.PRNGKey(0),
                 max_len=t_pad + self.max_new_tokens, lora=self.lora,
+                prompt_ids=ids_dev,
             )
             for pos, row, nv in zip(positions, np.asarray(tokens), np.asarray(num_valid)):
                 text = self.tokenizer.decode(row[: int(nv)], skip_special_tokens=True)

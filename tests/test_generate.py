@@ -282,3 +282,137 @@ class TestInt8KVCache:
             params, cfg, gcfg, embeds, lengths, jax.random.PRNGKey(2), max_len=16,
             decode_llm=q_params, cache_dtype=jnp.int8)
         assert np.asarray(toks2).shape == (2, 5)
+
+
+class TestRepetitionPenalty:
+    """HF RepetitionPenaltyLogitsProcessor parity — the processor behind
+    the reference AU agent's generate(repetition_penalty=1.1)
+    (my_affectgpt/models/au_agent.py:185-192)."""
+
+    @staticmethod
+    def _hf_penalize(logits: np.ndarray, ids: np.ndarray, penalty: float) -> np.ndarray:
+        import torch
+        from transformers.generation.logits_process import (
+            RepetitionPenaltyLogitsProcessor,
+        )
+
+        proc = RepetitionPenaltyLogitsProcessor(penalty=penalty)
+        return np.asarray(
+            proc(torch.tensor(ids, dtype=torch.long),
+                 torch.tensor(logits, dtype=torch.float32))
+        )
+
+    def test_processor_math_matches_hf(self):
+        rng = np.random.RandomState(0)
+        for penalty in (1.1, 1.5, 2.0):
+            logits = rng.randn(3, 32).astype(np.float32) * 4.0
+            ids = rng.randint(0, 32, (3, 9))
+            seen = np.zeros((3, 32), bool)
+            np.put_along_axis(seen, ids, True, axis=1)
+            mine = np.asarray(
+                gen.apply_repetition_penalty(
+                    jnp.asarray(logits), jnp.asarray(seen), penalty
+                )
+            )
+            np.testing.assert_allclose(
+                mine, self._hf_penalize(logits, ids, penalty), rtol=1e-6
+            )
+
+    def test_penalty_one_is_bitwise_off(self):
+        """repetition_penalty=1.0 (+ prompt_ids supplied) takes the inert
+        path and must match the no-penalty call token-for-token."""
+        ids = jax.random.randint(jax.random.PRNGKey(11), (2, 5), 0, 256)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+        lengths = jnp.array([5, 5])
+        base = gen.GenerateConfig(
+            max_new_tokens=6, do_sample=True, top_p=0.9, eos_token_id=257
+        )
+        on = gen.GenerateConfig(
+            max_new_tokens=6, do_sample=True, top_p=0.9, eos_token_id=257,
+            repetition_penalty=1.0,
+        )
+        t0, _ = gen.generate(
+            PARAMS, CFG, base, embeds, lengths, jax.random.PRNGKey(12), max_len=16
+        )
+        t1, _ = gen.generate(
+            PARAMS, CFG, on, embeds, lengths, jax.random.PRNGKey(12), max_len=16,
+            prompt_ids=ids,
+        )
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    def test_greedy_penalized_matches_hf_loop(self):
+        """Greedy decode with penalty vs a per-step Python loop that runs
+        our forward but penalizes through transformers' own processor on
+        the running prompt+generated id sequence."""
+        import torch
+        from transformers.generation.logits_process import (
+            RepetitionPenaltyLogitsProcessor,
+        )
+
+        penalty = 1.3
+        n_steps = 6
+        ids = jax.random.randint(jax.random.PRNGKey(13), (1, 6), 0, 256)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+        gcfg = gen.GenerateConfig(
+            max_new_tokens=n_steps, do_sample=False, eos_token_id=257,
+            repetition_penalty=penalty,
+        )
+        tokens, _ = gen.generate(
+            PARAMS, CFG, gcfg, embeds, jnp.array([6]), jax.random.PRNGKey(14),
+            max_len=16, prompt_ids=ids,
+        )
+
+        proc = RepetitionPenaltyLogitsProcessor(penalty=penalty)
+        hist = list(np.asarray(ids)[0])
+        cur = embeds
+        ref = []
+        for _ in range(n_steps):
+            logits, _ = qwen2.forward(PARAMS, CFG, cur, jnp.ones((1, cur.shape[1])))
+            scores = torch.tensor(np.asarray(logits[:, -1, :]), dtype=torch.float32)
+            pen = proc(torch.tensor([hist], dtype=torch.long), scores)
+            tok = int(torch.argmax(pen[0]))
+            ref.append(tok)
+            if tok == 257:
+                break
+            hist.append(tok)
+            cur = jnp.concatenate(
+                [cur, qwen2.embed_tokens(PARAMS, jnp.array([[tok]]))], axis=1
+            )
+        got = np.asarray(tokens[0])[: len(ref)]
+        np.testing.assert_array_equal(got, np.asarray(ref))
+
+    def test_penalized_ragged_batch_matches_single(self):
+        """Ragged penalized prompts decoded together must equal their
+        individual penalized decodes — validates that the seen-mask
+        construction respects per-row lengths (padding must NOT be
+        penalized) and that the mask carry survives left-packing."""
+        gcfg = gen.GenerateConfig(
+            max_new_tokens=5, do_sample=False, eos_token_id=257,
+            repetition_penalty=1.4,
+        )
+        ids_a = jax.random.randint(jax.random.PRNGKey(17), (1, 7), 1, 256)
+        ids_b = jax.random.randint(jax.random.PRNGKey(18), (1, 4), 1, 256)
+        emb_a = qwen2.embed_tokens(PARAMS, ids_a)
+        emb_b = qwen2.embed_tokens(PARAMS, ids_b)
+        emb_b_pad = jnp.pad(emb_b, ((0, 0), (0, 3), (0, 0)))
+        # pad row b's ids with token 0 — if padding leaked into the seen
+        # mask, token 0 would be spuriously penalized for row b
+        ids_b_pad = jnp.pad(ids_b, ((0, 0), (0, 3)))
+        batch_embeds = jnp.concatenate([emb_a, emb_b_pad], axis=0)
+        batch_ids = jnp.concatenate([ids_a, ids_b_pad], axis=0)
+        lengths = jnp.array([7, 4])
+
+        tok_batch, _ = gen.generate(
+            PARAMS, CFG, gcfg, batch_embeds, lengths, jax.random.PRNGKey(19),
+            max_len=16, prompt_ids=batch_ids,
+        )
+        tok_a, _ = gen.generate(
+            PARAMS, CFG, gcfg, emb_a, jnp.array([7]), jax.random.PRNGKey(19),
+            max_len=16, prompt_ids=ids_a,
+        )
+        tok_b, _ = gen.generate(
+            PARAMS, CFG, gcfg, emb_b, jnp.array([4]), jax.random.PRNGKey(19),
+            max_len=16, prompt_ids=ids_b,
+        )
+        np.testing.assert_array_equal(np.asarray(tok_batch[0]), np.asarray(tok_a[0]))
+        np.testing.assert_array_equal(np.asarray(tok_batch[1]), np.asarray(tok_b[0]))
