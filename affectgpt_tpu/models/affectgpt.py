@@ -94,6 +94,10 @@ class AffectGPTConfig:
         if "lora_r" in node:
             llm_kwargs["lora_r"] = int(node["lora_r"])
         llm = presets.get(llm_name, qwen2.QwenConfig.qwen25_7b)(**llm_kwargs)
+        if "lora_dropout" in node:  # reference peft default 0.05; 0 disables
+            import dataclasses as _dc
+
+            llm = _dc.replace(llm, lora_dropout=float(node["lora_dropout"]))
         return cls(
             llm=llm,
             video_fusion_type=node.get("video_fusion_type", "attention"),
@@ -215,6 +219,7 @@ def encode_modalities(
     trainable: dict,
     cfg: AffectGPTConfig,
     features: Dict[str, jnp.ndarray],
+    dropout_rng=None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-modality [b, t, d] features → LLM-space token blocks
     [b, q_m, llm_dim], plus the pre-fusion 'multi' block when configured.
@@ -226,17 +231,25 @@ def encode_modalities(
     dispatch (affectgpt.py:520-535).
     """
     blocks: Dict[str, jnp.ndarray] = {}
-    for m in MODALITIES:
+    for mi, m in enumerate(MODALITIES):
         if m in features:
             blocks[m] = mergers.apply_merger(
                 trainable["mergers"][MERGER_GROUP[m]], cfg.merger_config(m),
                 features[m],
+                dropout_rng=(
+                    jax.random.fold_in(dropout_rng, mi)
+                    if dropout_rng is not None else None
+                ),
             )
     if cfg.use_multi and "multi" in trainable and "audio" in features:
         video_hidden = features.get("face", features.get("frame"))
         if video_hidden is not None:
             blocks["multi"] = mergers.apply_multi_fusion(
-                trainable["multi"], cfg.multi_config(), video_hidden, features["audio"]
+                trainable["multi"], cfg.multi_config(), video_hidden, features["audio"],
+                dropout_rng=(
+                    jax.random.fold_in(dropout_rng, len(MODALITIES))
+                    if dropout_rng is not None else None
+                ),
             )
     return blocks
 
@@ -248,6 +261,7 @@ def build_inputs_embeds(
     input_ids: jnp.ndarray,
     features: Dict[str, jnp.ndarray],
     offsets: Dict[str, jnp.ndarray],
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Token ids + modality features → spliced embedding sequence.
 
@@ -256,7 +270,7 @@ def build_inputs_embeds(
     affectgpt.py:538-546); offsets[m] [b] int32 start positions (-1 =
     absent)."""
     embeds = qwen2.embed_tokens(frozen["llm"], input_ids)
-    blocks = encode_modalities(trainable, cfg, features)
+    blocks = encode_modalities(trainable, cfg, features, dropout_rng=dropout_rng)
     for m, block in blocks.items():
         if m in offsets:
             embeds = splice.splice_embeddings(embeds, block, offsets[m])
@@ -269,6 +283,7 @@ def forward_loss(
     cfg: AffectGPTConfig,
     batch: Dict[str, jnp.ndarray],
     remat: bool = False,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """One training forward: returns scalar causal-LM loss (the reference
     forward's {"loss"} contract, affectgpt.py:924-1028).
@@ -277,9 +292,18 @@ def forward_loss(
       input_ids [b, t] (patch ids zeroed), attention_mask [b, t],
       labels [b, t] (-100 outside target), features {m: [b, tm, dm]},
       offsets {m: [b] int32}.
+    dropout_rng: train-mode key — activates the reference's LoRA dropout
+    (cfg.llm.lora_dropout, peft 0.05) and the merger Q-Formers' BERT
+    dropouts (0.1). None = eval-mode identity (what every parity oracle
+    compares against).
     """
+    merger_rng = llm_rng = None
+    if dropout_rng is not None:
+        merger_rng = jax.random.fold_in(dropout_rng, 1)
+        llm_rng = jax.random.fold_in(dropout_rng, 2)
     embeds = build_inputs_embeds(
-        frozen, trainable, cfg, batch["input_ids"], batch["features"], batch["offsets"]
+        frozen, trainable, cfg, batch["input_ids"], batch["features"], batch["offsets"],
+        dropout_rng=merger_rng,
     )
     llm = frozen["llm"]
     if cfg.llm.tie_embeddings or "w" in llm["lm_head"]:
@@ -288,12 +312,13 @@ def forward_loss(
         hidden, _ = qwen2.forward(
             llm, cfg.llm, embeds, batch["attention_mask"],
             lora=trainable["lora"], remat=remat, return_hidden=True,
+            dropout_rng=llm_rng,
         )
         return qwen2.fused_cross_entropy_loss(
             hidden, llm, cfg.llm, batch["labels"]
         )
     logits, _ = qwen2.forward(
         llm, cfg.llm, embeds, batch["attention_mask"],
-        lora=trainable["lora"], remat=remat,
+        lora=trainable["lora"], remat=remat, dropout_rng=llm_rng,
     )
     return qwen2.cross_entropy_loss(logits, batch["labels"])

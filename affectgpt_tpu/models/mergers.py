@@ -64,20 +64,27 @@ def init_merger(rng: jax.Array, cfg: MergerConfig, dtype=jnp.float32) -> dict:
     return params
 
 
-def apply_merger(params: dict, cfg: MergerConfig, features: jnp.ndarray) -> jnp.ndarray:
+def apply_merger(params: dict, cfg: MergerConfig, features: jnp.ndarray,
+                 dropout_rng=None) -> jnp.ndarray:
     """[b, t, feat_dim] (or [b, t, q, feat_dim] from BLIP2-style encoders)
     → [b, num_query_tokens, llm_dim].
 
     4-D inputs get the temporal position embedding added per frame and are
     flattened to [b, t·q, d] (reference affectgpt.py:21-27 qformer case1 /
-    mean case1)."""
+    mean case1).
+
+    dropout_rng: train-mode switch for the qformer fusion's BERT dropouts
+    (the reference's merger Q-Formers are trainable and run under
+    model.train()); attention/mean fusion types have no dropout in the
+    reference and ignore it."""
     if features.ndim == 4:
         b, t, q_in, d = features.shape
         if cfg.fusion_type == "qformer":
             pos = nn.embedding(params["pos_embed"], jnp.arange(t))  # [t, d]
             h = features + pos[None, :, None, :].astype(features.dtype)
             h = h.reshape(b, t * q_in, d)
-            q = qformer.apply(params["qformer"], cfg.qformer_config(), h)
+            q = qformer.apply(params["qformer"], cfg.qformer_config(), h,
+                              dropout_rng=dropout_rng)
             return nn.dense(params["proj"], q)
         features = jnp.mean(features, axis=2)  # [b, t, d] for attention/mean
 
@@ -85,7 +92,8 @@ def apply_merger(params: dict, cfg: MergerConfig, features: jnp.ndarray) -> jnp.
     if cfg.fusion_type == "qformer":
         pos = nn.embedding(params["pos_embed"], jnp.arange(t))  # [t, d]
         h = features + pos[None, :, :].astype(features.dtype)
-        q = qformer.apply(params["qformer"], cfg.qformer_config(), h)
+        q = qformer.apply(params["qformer"], cfg.qformer_config(), h,
+                          dropout_rng=dropout_rng)
         return nn.dense(params["proj"], q)
     if cfg.fusion_type == "attention":
         if t == 1:
@@ -153,9 +161,10 @@ def apply_multi_fusion(
     cfg: MultiFusionConfig,
     video_hidden: jnp.ndarray,
     audio_hidden: jnp.ndarray,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """video_hidden [b, tv, video_dim], audio_hidden [b, ta, audio_dim]
-    → [b, num_query_tokens, llm_dim]."""
+    → [b, num_query_tokens, llm_dim]. dropout_rng: see apply_merger."""
     b = video_hidden.shape[0]
     if cfg.fusion_type == "qformer":
         v = nn.dense(params["video_embs"], video_hidden)  # [b, tv, maxdim]
@@ -164,7 +173,8 @@ def apply_multi_fusion(
         t = h.shape[1]
         pos = nn.embedding(params["pos_embed"], jnp.arange(t))
         h = h + pos[None, :, :].astype(h.dtype)
-        q = qformer.apply(params["qformer"], cfg.qformer_config(), h)
+        q = qformer.apply(params["qformer"], cfg.qformer_config(), h,
+                          dropout_rng=dropout_rng)
         return nn.dense(params["proj"], q)
 
     # attention gate: mean-pool each stream, score 2 modalities, weighted sum

@@ -123,12 +123,23 @@ def _fused_self_attn_ok(tq: int, tk: int, head_dim: int, mask) -> bool:
     )
 
 
+def dropout(key, rate: float, x: jnp.ndarray) -> jnp.ndarray:
+    """Inverted dropout (train-mode torch nn.Dropout): zero with prob
+    `rate`, scale survivors by 1/(1-rate). Callers gate on key presence —
+    eval mode simply never calls this."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype), jnp.zeros((), x.dtype))
+
+
 def mha(params, q_input: jnp.ndarray, kv_input: jnp.ndarray, num_heads: int,
-        mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        mask: Optional[jnp.ndarray] = None, probs_drop=None) -> jnp.ndarray:
     """Attention with full softmax in fp32. q_input [b, tq, dq],
     kv_input [b, tk, dkv], mask broadcastable to [b, h, tq, tk] (bool,
     True = attend). Unmasked self-attention at encoder geometry routes
-    through the fused Pallas kernel on TPU (no HBM score tensor)."""
+    through the fused Pallas kernel on TPU (no HBM score tensor).
+    probs_drop: optional (key, rate) — train-mode dropout on the softmaxed
+    attention probabilities (BERT attention_probs_dropout_prob; the
+    reference's trainable Q-Former runs it, Qformer.py:259)."""
     b, tq, _ = q_input.shape
     tk = kv_input.shape[1]
     q_w = params["q"].get("w", params["q"].get("w_q"))
@@ -139,7 +150,7 @@ def mha(params, q_input: jnp.ndarray, kv_input: jnp.ndarray, num_heads: int,
     k = dense(params["k"], kv_input).reshape(b, tk, num_heads, head_dim)
     v = dense(params["v"], kv_input).reshape(b, tk, num_heads, head_dim)
 
-    if _fused_self_attn_ok(tq, tk, head_dim, mask):
+    if probs_drop is None and _fused_self_attn_ok(tq, tk, head_dim, mask):
         from affectgpt_tpu.ops import vit_attention_pallas
 
         out = vit_attention_pallas.fused_self_attention(q, k, v, valid_len=tk)
@@ -151,6 +162,8 @@ def mha(params, q_input: jnp.ndarray, kv_input: jnp.ndarray, num_heads: int,
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    if probs_drop is not None:
+        probs = dropout(probs_drop[0], probs_drop[1], probs)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(q_input.dtype).reshape(b, tq, inner)
     return dense(params["o"], out)

@@ -36,6 +36,12 @@ class QFormerConfig:
     # cross-attention every Nth layer (1 for the temporal Q-Formers,
     # 2 for the BLIP2 image Q-Former; reference affectgpt.py:30 vs blip2.py)
     cross_attention_freq: int = 1
+    # BERT regularization the reference inherits from bert-base-uncased
+    # (init_Qformer, blip2.py:53-60: BertConfig defaults 0.1/0.1; active
+    # under model.train() on the TRAINABLE merger Q-Formers). Applied iff
+    # apply() receives dropout_rng — eval/inference never passes one.
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
 
     @classmethod
     def blip2(cls, num_query_tokens: int = 32, encoder_width: int = 1408):
@@ -82,10 +88,14 @@ def apply(
     cfg: QFormerConfig,
     encoder_hidden_states: jnp.ndarray,
     encoder_mask: Optional[jnp.ndarray] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """encoder_hidden_states [b, t, encoder_width] → [b, num_query, hidden].
 
     encoder_mask [b, t] bool (True = valid) folds padded timesteps.
+    dropout_rng: train-mode switch for the BERT dropouts (embeddings +
+    attention-probs + per-sublayer hidden, Qformer.py:108,259,288,374).
+    None = eval-mode identity — bitwise what inference always ran.
     """
     b = encoder_hidden_states.shape[0]
     x = jnp.broadcast_to(
@@ -93,16 +103,40 @@ def apply(
     ).astype(encoder_hidden_states.dtype)
     x = nn.layernorm(params["embed_ln"], x, cfg.layer_norm_eps)
 
+    h_p, a_p = cfg.hidden_dropout_prob, cfg.attention_probs_dropout_prob
+    drop_on = dropout_rng is not None and (h_p > 0.0 or a_p > 0.0)
+    # site keys: fold_in(layer_key, site) — 0 self-probs, 1 self-hidden,
+    # 2 cross-probs, 3 cross-hidden, 4 ffn-hidden; embeddings use site 5
+    # of a reserved pseudo-layer index
+    def hdrop(key, y):
+        return nn.dropout(key, h_p, y) if (drop_on and h_p > 0.0) else y
+
+    def pdrop(key):
+        return (key, a_p) if (drop_on and a_p > 0.0) else None
+
+    if drop_on:
+        x = hdrop(jax.random.fold_in(jax.random.fold_in(dropout_rng, 10_000), 5), x)
+
     cross_mask = None
     if encoder_mask is not None:
         cross_mask = encoder_mask[:, None, None, :]  # [b, 1, 1, t]
 
-    for layer in params["layers"]:
-        attn = nn.mha(layer["self_attn"], x, x, cfg.num_heads)
+    for i, layer in enumerate(params["layers"]):
+        lk = jax.random.fold_in(dropout_rng, i) if drop_on else None
+        sk = (lambda s: jax.random.fold_in(lk, s)) if drop_on else (lambda s: None)
+        attn = nn.mha(layer["self_attn"], x, x, cfg.num_heads,
+                      probs_drop=pdrop(sk(0)) if drop_on else None)
+        if drop_on:
+            attn = hdrop(sk(1), attn)
         x = nn.layernorm(layer["self_ln"], x + attn, cfg.layer_norm_eps)
         if "cross_attn" in layer:
-            cross = nn.mha(layer["cross_attn"], x, encoder_hidden_states, cfg.num_heads, cross_mask)
+            cross = nn.mha(layer["cross_attn"], x, encoder_hidden_states, cfg.num_heads,
+                           cross_mask, probs_drop=pdrop(sk(2)) if drop_on else None)
+            if drop_on:
+                cross = hdrop(sk(3), cross)
             x = nn.layernorm(layer["cross_ln"], x + cross, cfg.layer_norm_eps)
         h = nn.dense(layer["ffn_out"], nn.gelu(nn.dense(layer["ffn_in"], x)))
+        if drop_on:
+            h = hdrop(sk(4), h)
         x = nn.layernorm(layer["ffn_ln"], x + h, cfg.layer_norm_eps)
     return x

@@ -45,6 +45,11 @@ class QwenConfig:
     qkv_bias: bool = True  # Qwen2 has q/k/v biases; Llama-family has none
     lora_r: int = 16
     lora_alpha: float = 32.0
+    # peft LoraConfig(lora_dropout=...) — the reference builds every LLM
+    # with 0.05 (my_affectgpt/models/affectgpt.py:123). Train-only: the
+    # rate is applied iff forward() receives dropout_rng; inference never
+    # passes one, matching torch eval-mode identity.
+    lora_dropout: float = 0.05
 
     @classmethod
     def qwen25_7b(cls, vocab_size: int = 152064, lora_r: int = 16):
@@ -330,7 +335,11 @@ def init_quantized_params(
     return params
 
 
-def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
+def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True, drop=None):
+    """drop: optional (key, rate) — inverted dropout on the LoRA-branch
+    input only (the frozen base matmul is never dropped), exactly peft's
+    `B(A(dropout(x)))·scale` train-mode math. Each wrapped projection gets
+    its own independent mask, like peft's per-module nn.Dropout."""
     if "w_q4" in base:
         # int4 serving mode: fused grouped-dequant matmul for decode-shaped
         # M (HBM-bound — the packed weights are the traffic); prefill-shaped
@@ -381,7 +390,13 @@ def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True):
     else:
         y = jnp.dot(x, base["w"], preferred_element_type=jnp.float32)
     if lora is not None:
-        z = jnp.dot(x, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
+        xl = x
+        if drop is not None:
+            key, rate = drop
+            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+            xl = jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype),
+                           jnp.zeros((), x.dtype))
+        z = jnp.dot(xl, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
         z = jnp.dot(z.astype(x.dtype), lora["b"].astype(x.dtype), preferred_element_type=jnp.float32)
         y = y + scaling * z
     if has_bias and "b" in base:
@@ -639,10 +654,25 @@ def _quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), scale
 
 
+# stable per-projection dropout-key offsets (peft: one independent
+# nn.Dropout per wrapped module)
+_LORA_DROP_IDS = {
+    "q_proj": 0, "k_proj": 1, "v_proj": 2, "o_proj": 3,
+    "gate_proj": 4, "up_proj": 5, "down_proj": 6,
+}
+
+
+def _lora_drop(drop_rng, cfg: QwenConfig, name: str):
+    if drop_rng is None or cfg.lora_dropout <= 0.0:
+        return None
+    return (jax.random.fold_in(drop_rng, _LORA_DROP_IDS[name]), cfg.lora_dropout)
+
+
 def _attention(
     layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray, positions: jnp.ndarray,
     mask: jnp.ndarray, cache: Optional[dict], cache_index: Optional[jnp.ndarray],
     pre_ln: Optional[dict] = None,
+    drop_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[dict], bool]:
     """Returns (out, new_cache, residual_done): residual_done=True means the
     fused attn+o kernel already added the residual stream into out (the
@@ -679,9 +709,12 @@ def _attention(
         v = fused[2].reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
         roped = True  # kernel applied rope in-VMEM
     else:
-        q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling).reshape(b, t, cfg.num_heads, cfg.head_dim)
-        k = _lora_dense(layer["k_proj"], lget("k_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
-        v = _lora_dense(layer["v_proj"], lget("v_proj"), x, scaling).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        q = _lora_dense(layer["q_proj"], lget("q_proj"), x, scaling,
+                        drop=_lora_drop(drop_rng, cfg, "q_proj")).reshape(b, t, cfg.num_heads, cfg.head_dim)
+        k = _lora_dense(layer["k_proj"], lget("k_proj"), x, scaling,
+                        drop=_lora_drop(drop_rng, cfg, "k_proj")).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
+        v = _lora_dense(layer["v_proj"], lget("v_proj"), x, scaling,
+                        drop=_lora_drop(drop_rng, cfg, "v_proj")).reshape(b, t, cfg.num_kv_heads, cfg.head_dim)
 
     if not roped:
         q = _rope(q, positions, cfg.rope_theta)
@@ -853,10 +886,12 @@ def _attention(
     probs = probs.astype(v.dtype)
     out = jnp.einsum("bhgqk,bhkd->bqhgd", probs, v, preferred_element_type=jnp.float32)
     out = out.astype(x.dtype).reshape(b, t, cfg.num_heads * cfg.head_dim)
-    return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False), new_cache, False
+    return _lora_dense(layer["o_proj"], lget("o_proj"), out, scaling, has_bias=False,
+                       drop=_lora_drop(drop_rng, cfg, "o_proj")), new_cache, False
 
 
-def _mlp(layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray) -> jnp.ndarray:
+def _mlp(layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray,
+         drop_rng: Optional[jax.Array] = None) -> jnp.ndarray:
     scaling = cfg.lora_alpha / cfg.lora_r
     lget = (lambda n: lora_layer[n]) if lora_layer is not None else (lambda n: None)
     if "gateup_proj" in layer:
@@ -864,9 +899,12 @@ def _mlp(layer, lora_layer, cfg: QwenConfig, x: jnp.ndarray) -> jnp.ndarray:
         y = _lora_dense(layer["gateup_proj"], None, x, 0.0, has_bias=False)
         gate, up = jnp.split(y, 2, axis=-1)
     else:
-        gate = _lora_dense(layer["gate_proj"], lget("gate_proj"), x, scaling, has_bias=False)
-        up = _lora_dense(layer["up_proj"], lget("up_proj"), x, scaling, has_bias=False)
-    return _lora_dense(layer["down_proj"], lget("down_proj"), jax.nn.silu(gate) * up, scaling, has_bias=False)
+        gate = _lora_dense(layer["gate_proj"], lget("gate_proj"), x, scaling, has_bias=False,
+                           drop=_lora_drop(drop_rng, cfg, "gate_proj"))
+        up = _lora_dense(layer["up_proj"], lget("up_proj"), x, scaling, has_bias=False,
+                         drop=_lora_drop(drop_rng, cfg, "up_proj"))
+    return _lora_dense(layer["down_proj"], lget("down_proj"), jax.nn.silu(gate) * up, scaling, has_bias=False,
+                       drop=_lora_drop(drop_rng, cfg, "down_proj"))
 
 
 def forward(
@@ -881,8 +919,13 @@ def forward(
     remat: bool = False,
     last_token_only: bool = False,
     return_hidden: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[list]]:
     """Run the decoder stack.
+
+    dropout_rng: train-mode switch for LoRA dropout (cfg.lora_dropout,
+    peft lora_dropout=0.05 in the reference, affectgpt.py:123). None
+    (every inference path) = identity, bitwise-identical to before.
 
     inputs_embeds [b, t, d]; attention_mask:
       - training/prefill: [b, t] validity (causal mask built internally), or
@@ -907,10 +950,10 @@ def forward(
     x = inputs_embeds
     new_cache = [] if cache is not None else None
 
-    def layer_fn(x, layer, lora_layer, layer_cache):
+    def layer_fn(x, layer, lora_layer, layer_cache, layer_drop_rng):
         attn_out, updated, residual_done = _attention(
             layer, lora_layer, cfg, x, positions, mask, layer_cache,
-            cache_index, pre_ln=layer["input_ln"],
+            cache_index, pre_ln=layer["input_ln"], drop_rng=layer_drop_rng,
         )
         # the fused attn+o kernel already added the residual stream
         x = attn_out if residual_done else x + attn_out
@@ -923,7 +966,7 @@ def forward(
             x = y
         else:
             h = nn.rmsnorm(layer["post_attn_ln"], x, cfg.rms_eps)
-            x = x + _mlp(layer, lora_layer, cfg, h)
+            x = x + _mlp(layer, lora_layer, cfg, h, drop_rng=layer_drop_rng)
         return x, updated
 
     if remat:
@@ -948,10 +991,12 @@ def forward(
     import os as _os
 
     barrier = _os.environ.get("AFFECTGPT_LAYER_BARRIER", "0") == "1"
+    drop_on = dropout_rng is not None and lora is not None and cfg.lora_dropout > 0.0
     for i, layer in enumerate(params["layers"]):
         lora_layer = lora["layers"][i] if lora is not None else None
         layer_cache = cache[i] if cache is not None else None
-        x, updated = layer_fn(x, layer, lora_layer, layer_cache)
+        layer_drop = jax.random.fold_in(dropout_rng, i) if drop_on else None
+        x, updated = layer_fn(x, layer, lora_layer, layer_cache, layer_drop)
         if barrier:
             if updated is not None:
                 x, updated = jax.lax.optimization_barrier((x, updated))

@@ -46,14 +46,32 @@ def make_train_step(
     cfg: affectgpt.AffectGPTConfig,
     tx: optax.GradientTransformation,
     remat: bool = False,
+    dropout_seed: Optional[int] = None,
 ) -> Callable:
-    """Returns train_step(state, frozen, batch) -> (state, metrics)."""
+    """Returns train_step(state, frozen, batch) -> (state, metrics).
 
-    def loss_fn(trainable, frozen, batch):
-        return affectgpt.forward_loss(frozen, trainable, cfg, batch, remat=remat)
+    dropout_seed: enables train-mode dropout (the reference trains with
+    model.train() — LoRA dropout 0.05 active, runner_base.py:461 +
+    affectgpt.py:123). The per-step key is fold_in(seed, state.step):
+    deterministic, resume-stable, and identical across processes (the
+    mask of a dp-sharded batch is one logical array, so multihost loss
+    stays bit-equal to single-process). None = eval-mode forward (what
+    parity oracles pin)."""
+
+    def loss_fn(trainable, frozen, batch, dropout_rng):
+        return affectgpt.forward_loss(
+            frozen, trainable, cfg, batch, remat=remat, dropout_rng=dropout_rng
+        )
 
     def train_step(state: TrainState, frozen, batch) -> Tuple[TrainState, Dict]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.trainable, frozen, batch)
+        dropout_rng = (
+            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            if dropout_seed is not None
+            else None
+        )
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.trainable, frozen, batch, dropout_rng
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
         new_state = TrainState(step=state.step + 1, trainable=trainable, opt_state=opt_state)
@@ -73,10 +91,11 @@ def compile_train_step(
     state: TrainState,
     frozen,
     remat: bool = False,
+    dropout_seed: Optional[int] = None,
 ):
     """jit the step with explicit shardings: params/opt-state per the tp
     rules, batch split over dp, state donated (in-place HBM update)."""
-    step_fn = make_train_step(cfg, tx, remat=remat)
+    step_fn = make_train_step(cfg, tx, remat=remat, dropout_seed=dropout_seed)
 
     # Optimizer-state leaves inherit their parameter's sharding: the optax
     # state pytree embeds the param subtree paths (mu/nu/...), so the same

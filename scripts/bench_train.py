@@ -64,7 +64,14 @@ def main():
     trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
     tx = optax.adamw(1e-5, weight_decay=0.05)
     state = ts.create_train_state(trainable, tx)
-    step_fn = jax.jit(ts.make_train_step(cfg, tx, remat=REMAT), donate_argnums=(0,))
+    # TRAIN_BENCH_DROPOUT=1 measures the production-runner configuration
+    # (train-mode LoRA dropout, reference peft 0.05); default off keeps the
+    # harness comparable with earlier recorded sweeps
+    dropout_seed = 42 if os.environ.get("TRAIN_BENCH_DROPOUT") else None
+    step_fn = jax.jit(
+        ts.make_train_step(cfg, tx, remat=REMAT, dropout_seed=dropout_seed),
+        donate_argnums=(0,),
+    )
 
     print(f"# device: {jax.devices()[0]}", flush=True)
     results = {}
