@@ -29,6 +29,10 @@ class E2EConfig:
     hidden_dim: int = 64
     output_dim1: int = 6
     output_dim2: int = 1
+    # the reference e2e model regularizes its fusion encoder with
+    # args.dropout (e2e_model.py:25,31 MLPEncoder(..., dropout));
+    # train-mode only — active iff apply() receives train_rng
+    dropout: float = 0.0
 
     def fusion_args(self) -> FusionArgs:
         return FusionArgs(
@@ -55,19 +59,26 @@ def init_params(rng: jax.Array, cfg: E2EConfig, dtype=jnp.float32) -> dict:
     }
 
 
-def apply(params: dict, cfg: E2EConfig, batch) -> Tuple:
+def apply(params: dict, cfg: E2EConfig, batch, train_rng=None) -> Tuple:
     """batch: frames [b, T, H, W, 3] floats (CLIP-normalized), audio clips
     [b, clips, 1, samples], texts [b, text_dim] (utterance embedding).
-    Returns the toolkit 4-tuple."""
+    Returns the toolkit 4-tuple.
+
+    train_rng: dropout on the three fusion projections (the reference's
+    MLPEncoder(..., dropout) fusion encoder, e2e_model.py:31); None =
+    eval mode."""
+    from affectgpt_tpu.toolkit.models import _drop, _site
+
     frames = batch["frames"]
     b, t = frames.shape[:2]
     flat = frames.reshape(b * t, *frames.shape[2:])
     vfeat = clip_vit.encode_image(params["visual"], cfg.vision, flat)
     vfeat = vfeat.reshape(b, t, -1).mean(axis=1)
     afeat = hubert.encode_clips(params["acoustic"], cfg.audio, batch["audios"]).mean(axis=1)
-    a = jax.nn.relu(nn.dense(params["proj_a"], afeat))
-    t_ = jax.nn.relu(nn.dense(params["proj_t"], batch["texts"]))
-    v = jax.nn.relu(nn.dense(params["proj_v"], vfeat))
+    key = train_rng if cfg.dropout > 0.0 else None
+    a = _drop(_site(key, 0), cfg.dropout, jax.nn.relu(nn.dense(params["proj_a"], afeat)))
+    t_ = _drop(_site(key, 1), cfg.dropout, jax.nn.relu(nn.dense(params["proj_t"], batch["texts"])))
+    v = _drop(_site(key, 2), cfg.dropout, jax.nn.relu(nn.dense(params["proj_v"], vfeat)))
     feats = jnp.concatenate([a, t_, v], axis=-1)
     emos, vals = _heads(params["heads"], feats)
     return feats, emos, vals, jnp.zeros(())

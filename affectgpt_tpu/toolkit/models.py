@@ -37,6 +37,11 @@ class FusionArgs:
     rank: int = 4  # LMF rank
     num_heads: int = 4  # MULT heads
     num_layers: int = 2  # MULT layers
+    # args.dropout — every reference baseline regularizes with it
+    # (toolkit/models/*.py read args.dropout into their MLPEncoder/
+    # LSTMEncoder/nn.Dropout sites). Train-mode only: active iff apply()
+    # receives train_rng; evaluation always runs eval-mode identity.
+    dropout: float = 0.0
     feat_type: str = "utt"  # utt | frm_align | frm_unalign
     # Attention_TOPN stream dims (reference stores the list in args.audio_dim,
     # attention_topn.py:13); empty → the standard (audio, text, video) triple.
@@ -51,6 +56,27 @@ class FusionArgs:
 # -- shared encoders -----------------------------------------------------------
 
 
+def _drop(key, rate: float, x):
+    """Inverted train-mode dropout (torch nn.Dropout under model.train());
+    identity when key is None or rate == 0 — bitwise the pre-existing
+    eval forward."""
+    if key is None or rate <= 0.0:
+        return x
+    return nn.dropout(key, rate, x)
+
+
+def _site(key, i: int):
+    """Stable per-site subkey; None propagates (eval mode)."""
+    return None if key is None else jax.random.fold_in(key, i)
+
+
+def _dr(train_rng, args: FusionArgs, i: int):
+    """(key, rate) drop handle for site i, or None when dropout is off."""
+    if train_rng is None or args.dropout <= 0.0:
+        return None
+    return (jax.random.fold_in(train_rng, i), args.dropout)
+
+
 def mlp_encoder_init(rng, in_dim, hidden, dtype=jnp.float32):
     k1, k2 = jax.random.split(rng)
     return {
@@ -59,9 +85,16 @@ def mlp_encoder_init(rng, in_dim, hidden, dtype=jnp.float32):
     }
 
 
-def mlp_encoder(params, x):
-    h = jax.nn.relu(nn.dense(params["fc1"], x))
-    return jax.nn.relu(nn.dense(params["fc2"], h))
+def mlp_encoder(params, x, drop=None):
+    """drop: optional (key, rate) train-mode switch. The reference's
+    MLPEncoder(in, hidden, dropout) module file is not vendored
+    (toolkit/models/modules/ is absent from the reference tree), but every
+    caller constructs it with args.dropout: applied after each activation
+    here — placement around ReLU is exactly equivalent (dropout commutes
+    with ReLU: relu(c·x) = c·relu(x) for c ≥ 0 and relu(0) = 0)."""
+    key, rate = drop if drop is not None else (None, 0.0)
+    h = _drop(_site(key, 0), rate, jax.nn.relu(nn.dense(params["fc1"], x)))
+    return _drop(_site(key, 1), rate, jax.nn.relu(nn.dense(params["fc2"], h)))
 
 
 def lstm_encoder_init(rng, in_dim, hidden, dtype=jnp.float32):
@@ -72,8 +105,13 @@ def lstm_encoder_init(rng, in_dim, hidden, dtype=jnp.float32):
     }
 
 
-def lstm_encoder(params, x):
-    """[b, t, d] → last hidden [b, h] via lax.scan."""
+def lstm_encoder(params, x, drop=None):
+    """[b, t, d] → last hidden [b, h] via lax.scan.
+
+    drop: optional (key, rate) — applied to the returned hidden (the
+    reference LSTMEncoder's output dropout; same contract as mctn.py:31's
+    `self.dropout(enc_state[0].squeeze())`). torch's intra-LSTM dropout
+    only acts between stacked layers, so a single-layer scan is exact."""
     b = x.shape[0]
     hidden = params["wh"]["w"].shape[0]
 
@@ -87,6 +125,8 @@ def lstm_encoder(params, x):
 
     init = (jnp.zeros((b, hidden), x.dtype), jnp.zeros((b, hidden), x.dtype))
     (h, _), _ = jax.lax.scan(step, init, jnp.swapaxes(x, 0, 1))
+    if drop is not None:
+        h = _drop(drop[0], drop[1], h)
     return h
 
 
@@ -100,12 +140,21 @@ def _encoders_init(rng, args: FusionArgs, dtype=jnp.float32):
     }
 
 
-def _encode_all(params, args: FusionArgs, batch):
+def _encode_all(params, args: FusionArgs, batch, rng=None):
+    """rng: train-mode key — each modality encoder gets an independent
+    dropout stream (the reference builds three separate encoder modules,
+    each with its own nn.Dropout instances)."""
     enc = mlp_encoder if args.feat_type == "utt" else lstm_encoder
+    if args.dropout <= 0.0:
+        rng = None
+
+    def d(i):
+        return None if rng is None else (jax.random.fold_in(rng, i), args.dropout)
+
     return (
-        enc(params["audio"], batch["audios"]),
-        enc(params["text"], batch["texts"]),
-        enc(params["video"], batch["videos"]),
+        enc(params["audio"], batch["audios"], drop=d(0)),
+        enc(params["text"], batch["texts"], drop=d(1)),
+        enc(params["video"], batch["videos"], drop=d(2)),
     )
 
 
@@ -137,10 +186,13 @@ class AttentionFusion:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: dropout in the three encoders + attention_mlp (all
+        MLPEncoder(…, dropout) in the reference, attention.py:22-30)."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
         concat = jnp.concatenate([a, t, v], axis=1)
-        gate = nn.dense(params["fc_att"], mlp_encoder(params["attention_mlp"], concat))  # [b,3]
+        gate = nn.dense(params["fc_att"], mlp_encoder(
+            params["attention_mlp"], concat, drop=_dr(train_rng, args, 1)))  # [b,3]
         stacked = jnp.stack([a, t, v], axis=2)  # [b, h, 3]
         feats = jnp.einsum("bhm,bm->bh", stacked, gate)
         emos, vals = _heads(params["heads"], feats)
@@ -164,13 +216,19 @@ class TFN:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: encoder dropouts + post_fusion_dropout on the outer
+        product before the post layers (tfn.py:37,74 — the post layers
+        themselves are bare inplace ReLUs)."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
         b = a.shape[0]
         one = jnp.ones((b, 1), a.dtype)
         a1, t1, v1 = (jnp.concatenate([one, x], axis=1) for x in (a, t, v))
         # outer product fusion [b, (h+1)^3]
         fused = jnp.einsum("bi,bj,bk->bijk", a1, t1, v1).reshape(b, -1)
+        pf = _dr(train_rng, args, 1)
+        if pf is not None:
+            fused = _drop(pf[0], pf[1], fused)
         h = jax.nn.relu(nn.dense(params["post1"], fused))
         h = jax.nn.relu(nn.dense(params["post2"], h))
         emos, vals = _heads(params["heads"], h)
@@ -201,8 +259,11 @@ class LMF:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: encoder dropouts only — the reference's LMF defines
+        post_fusion_dropout (lmf.py:39) but never invokes it in forward
+        (lmf.py:57-90), so none is applied here either."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
         b = a.shape[0]
         one = jnp.ones((b, 1), a.dtype)
         a1, t1, v1 = (jnp.concatenate([one, x], axis=1) for x in (a, t, v))
@@ -230,9 +291,16 @@ class LFDNN:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
-        feats = mlp_encoder(params["post"], jnp.concatenate([a, t, v], axis=1))
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: encoder dropouts + post_fusion_dropout on the concat
+        before the post MLP (lf_dnn.py:57; the post layers are bare
+        inplace ReLUs)."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
+        fused = jnp.concatenate([a, t, v], axis=1)
+        pf = _dr(train_rng, args, 1)
+        if pf is not None:
+            fused = _drop(pf[0], pf[1], fused)
+        feats = mlp_encoder(params["post"], fused)
         emos, vals = _heads(params["heads"], feats)
         return feats, emos, vals, jnp.zeros(())
 
@@ -253,11 +321,15 @@ class EFLSTM:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: dropout on the LSTM final state and again after the
+        post linear+ReLU (ef_lstm.py:49-51 applies self.dropout twice
+        around the linear; torch's intra-LSTM dropout only acts between
+        stacked layers, so the single-layer scan is exact)."""
         # frame-aligned inputs [b, t, d*]; early concat along features
         x = jnp.concatenate([batch["audios"], batch["texts"], batch["videos"]], axis=-1)
-        h = lstm_encoder(params["lstm"], x)
-        feats = mlp_encoder(params["post"], h)
+        h = lstm_encoder(params["lstm"], x, drop=_dr(train_rng, args, 0))
+        feats = mlp_encoder(params["post"], h, drop=_dr(train_rng, args, 1))
         emos, vals = _heads(params["heads"], feats)
         return feats, emos, vals, jnp.zeros(())
 
@@ -277,13 +349,19 @@ def _xattn_block_init(rng, dim, heads, dtype=jnp.float32):
     }
 
 
-def _xattn_block(params, q, kv, heads):
+def _xattn_block(params, q, kv, heads, drop=None):
+    """drop: (key, rate) — the reference's TransformerEncoderLayer runs
+    attn_dropout (on attention probs), res_dropout (on each sublayer
+    output) and relu_dropout (inside the FFN), all = args.dropout
+    (mult.py:85-88)."""
+    key, rate = drop if drop is not None else (None, 0.0)
     h = nn.mha(params["attn"], nn.layernorm(params["ln_q"], q),
-               nn.layernorm(params["ln_kv"], kv), heads)
-    q = q + h
-    f = nn.dense(params["ffn_out"], jax.nn.relu(nn.dense(params["ffn_in"],
-                 nn.layernorm(params["ln_ffn"], q))))
-    return q + f
+               nn.layernorm(params["ln_kv"], kv), heads,
+               probs_drop=(None if key is None else (_site(key, 0), rate)))
+    q = q + _drop(_site(key, 1), rate, h)
+    f = jax.nn.relu(nn.dense(params["ffn_in"], nn.layernorm(params["ln_ffn"], q)))
+    f = nn.dense(params["ffn_out"], _drop(_site(key, 2), rate, f))
+    return q + _drop(_site(key, 3), rate, f)
 
 
 @registry.register_model("toolkit_mult")
@@ -315,24 +393,40 @@ class MULT:
         return {"proj": proj, "blocks": blocks, "heads": _heads_init(k_h, d * 6, args)}
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: embed_dropout on the projected streams, the
+        per-block attn/res/relu dropouts (mult.py:85-88), and the final
+        projection dropout before the heads (mult.py:136)."""
+        on = train_rng is not None and args.dropout > 0.0
         streams = {
             "audio": nn.dense(params["proj"]["audio"], batch["audios"]),
             "text": nn.dense(params["proj"]["text"], batch["texts"]),
             "video": nn.dense(params["proj"]["video"], batch["videos"]),
         }
+        if on:  # embed_dropout (mult.py:88)
+            streams = {
+                k: _drop(_site(_site(train_rng, 0), i), args.dropout, v)
+                for i, (k, v) in enumerate(streams.items())
+            }
         # utterance features become length-1 sequences
         streams = {k: v[:, None, :] if v.ndim == 2 else v for k, v in streams.items()}
         outs = []
+        pair = 0
         for tgt in ("audio", "text", "video"):
             for src in ("audio", "text", "video"):
                 if tgt == src:
                     continue
                 q = streams[tgt]
-                for block in params["blocks"][f"{tgt}_from_{src}"]:
-                    q = _xattn_block(block, q, streams[src], args.num_heads)
+                for li, block in enumerate(params["blocks"][f"{tgt}_from_{src}"]):
+                    bd = None
+                    if on:
+                        bd = (_site(_site(train_rng, 1 + pair), li), args.dropout)
+                    q = _xattn_block(block, q, streams[src], args.num_heads, drop=bd)
                 outs.append(jnp.mean(q, axis=1))
+                pair += 1
         feats = jnp.concatenate(outs, axis=-1)
+        if on:  # final proj dropout (mult.py:136)
+            feats = _drop(_site(train_rng, 7), args.dropout, feats)
         emos, vals = _heads(params["heads"], feats)
         return feats, emos, vals, jnp.zeros(())
 
@@ -360,8 +454,10 @@ class MISA:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: encoder dropouts + the fusion MLP's dropout
+        (misa.py:118-124 encoders, misa.py:171 fusion_layer_1_dropout)."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
         shared = {m: jax.nn.sigmoid(nn.dense(params["shared"], x))
                   for m, x in zip(("audio", "text", "video"), (a, t, v))}
         private = {m: jax.nn.sigmoid(nn.dense(params["private"][m], x))
@@ -385,7 +481,7 @@ class MISA:
             [shared["audio"], shared["text"], shared["video"],
              private["audio"], private["text"], private["video"]], axis=-1
         )
-        feats = mlp_encoder(params["fusion"], fused)
+        feats = mlp_encoder(params["fusion"], fused, drop=_dr(train_rng, args, 1))
         emos, vals = _heads(params["heads"], feats)
         return feats, emos, vals, interloss
 
@@ -423,9 +519,13 @@ class MMIM:
         return -jnp.mean(jnp.take_along_axis(logprobs, labels[:, None], axis=1))
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
-        feats = mlp_encoder(params["fusion"], jnp.concatenate([a, t, v], axis=1))
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: encoder dropouts + fusion-MLP dropout (mmim.py:180-186
+        encoders; the reference's remaining drop site lives in the CPC nets
+        folded into the bilinear critics here, mmim.py:144)."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
+        feats = mlp_encoder(params["fusion"], jnp.concatenate([a, t, v], axis=1),
+                            drop=_dr(train_rng, args, 1))
         nce = (
             MMIM._infonce(params["critic_a"], feats, a)
             + MMIM._infonce(params["critic_t"], feats, t)
@@ -461,10 +561,14 @@ class MFN:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: the reference applies att1/att2/gamma1/gamma2 dropout
+        INSIDE the per-timestep memory loop with a fresh mask each step
+        (mfn.py:110-115) — here per-step subkeys ride the scan's xs."""
         d = args.hidden_dim
         a, t, v = batch["audios"], batch["texts"], batch["videos"]
         b, steps = a.shape[0], a.shape[1]
+        drop_on = train_rng is not None and args.dropout > 0.0
 
         def lstm_step(p, xt, h, c):
             gates = nn.dense(p["wx"], xt) + nn.dense_nobias(p["wh"], h)
@@ -473,26 +577,34 @@ class MFN:
             return jax.nn.sigmoid(o) * jnp.tanh(c), c
 
         def step(carry, xs):
+            if drop_on:
+                xa, xt, xv, kt = xs
+                dr = lambda i: (jax.random.fold_in(kt, i), args.dropout)
+            else:
+                xa, xt, xv = xs
+                dr = lambda i: None
             (ha, ca), (ht, ct), (hv, cv), mem = carry
-            xa, xt, xv = xs
             prev_cat = jnp.concatenate([ca, ct, cv], axis=-1)
             ha, ca = lstm_step(params["lstm_a"], xa, ha, ca)
             ht, ct = lstm_step(params["lstm_t"], xt, ht, ct)
             hv, cv = lstm_step(params["lstm_v"], xv, hv, cv)
             new_cat = jnp.concatenate([ca, ct, cv], axis=-1)
             both = jnp.concatenate([prev_cat, new_cat], axis=-1)  # [b, 2·3d]
-            attention = jax.nn.softmax(mlp_encoder(params["att1"], both), axis=-1)
+            attention = jax.nn.softmax(
+                mlp_encoder(params["att1"], both, drop=dr(0)), axis=-1)
             attended = both * attention
-            c_hat = jnp.tanh(mlp_encoder(params["att2"], attended))
+            c_hat = jnp.tanh(mlp_encoder(params["att2"], attended, drop=dr(1)))
             gate_in = jnp.concatenate([both, mem], axis=-1)
-            g1 = jax.nn.sigmoid(mlp_encoder(params["gamma1"], gate_in))
-            g2 = jax.nn.sigmoid(mlp_encoder(params["gamma2"], gate_in))
+            g1 = jax.nn.sigmoid(mlp_encoder(params["gamma1"], gate_in, drop=dr(2)))
+            g2 = jax.nn.sigmoid(mlp_encoder(params["gamma2"], gate_in, drop=dr(3)))
             mem = g1 * mem + g2 * c_hat
             return ((ha, ca), (ht, ct), (hv, cv), mem), None
 
         zeros = lambda: (jnp.zeros((b, d), a.dtype), jnp.zeros((b, d), a.dtype))
         init = (zeros(), zeros(), zeros(), jnp.zeros((b, d), a.dtype))
         xs = (jnp.swapaxes(a, 0, 1), jnp.swapaxes(t, 0, 1), jnp.swapaxes(v, 0, 1))
+        if drop_on:
+            xs = xs + (jax.random.split(train_rng, steps),)
         ((ha, _), (ht, _), (hv, _), mem), _ = jax.lax.scan(step, init, xs)
         feats = jnp.concatenate([ha, ht, hv, mem], axis=-1)
         emos, vals = _heads(params["heads"], feats)
@@ -514,15 +626,19 @@ def _dfg_init(rng, d, dtype=jnp.float32):
     }
 
 
-def _dfg_apply(params, a, t, v):
-    """Returns the graph output: efficacy-weighted sum of vertex embeddings."""
+def _dfg_apply(params, a, t, v, drop=None):
+    """Returns the graph output: efficacy-weighted sum of vertex embeddings.
+    drop: (key, rate) — the vertex MLPs carry the reference's per-step
+    dropout (graph_mfn.py's att/gamma nn.Dropout family)."""
+    key, rate = drop if drop is not None else (None, 0.0)
+    dr = lambda i: None if key is None else ((_site(key, i), rate))
     gates = jax.nn.sigmoid(
         nn.dense(params["efficacies"], jnp.concatenate([a, t, v], axis=-1))
     )  # [b, 7]
-    av = mlp_encoder(params["pair_av"], jnp.concatenate([a, v], axis=-1))
-    at = mlp_encoder(params["pair_at"], jnp.concatenate([a, t], axis=-1))
-    tv = mlp_encoder(params["pair_tv"], jnp.concatenate([t, v], axis=-1))
-    atv = mlp_encoder(params["triple"], jnp.concatenate([a, t, v], axis=-1))
+    av = mlp_encoder(params["pair_av"], jnp.concatenate([a, v], axis=-1), drop=dr(0))
+    at = mlp_encoder(params["pair_at"], jnp.concatenate([a, t], axis=-1), drop=dr(1))
+    tv = mlp_encoder(params["pair_tv"], jnp.concatenate([t, v], axis=-1), drop=dr(2))
+    atv = mlp_encoder(params["triple"], jnp.concatenate([a, t, v], axis=-1), drop=dr(3))
     vertices = jnp.stack([a, t, v, av, at, tv, atv], axis=1)  # [b, 7, d]
     return jnp.einsum("bkd,bk->bd", vertices, gates)
 
@@ -547,10 +663,14 @@ class GraphMFN:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: per-timestep dropout in the DFG vertex MLPs and the
+        gamma gates — fresh mask each step, like the reference's in-loop
+        nn.Dropout calls (graph_mfn.py:209-212)."""
         d = args.hidden_dim
         a, t, v = batch["audios"], batch["texts"], batch["videos"]
-        b = a.shape[0]
+        b, steps = a.shape[0], a.shape[1]
+        drop_on = train_rng is not None and args.dropout > 0.0
 
         def lstm_step(p, xt, h, c):
             gates = nn.dense(p["wx"], xt) + nn.dense_nobias(p["wh"], h)
@@ -559,21 +679,30 @@ class GraphMFN:
             return jax.nn.sigmoid(o) * jnp.tanh(c), c
 
         def step(carry, xs):
+            if drop_on:
+                xa, xt, xv, kt = xs
+                dfg_drop = (jax.random.fold_in(kt, 0), args.dropout)
+                dr = lambda i: (jax.random.fold_in(kt, i), args.dropout)
+            else:
+                xa, xt, xv = xs
+                dfg_drop = None
+                dr = lambda i: None
             (ha, ca), (ht, ct), (hv, cv), mem = carry
-            xa, xt, xv = xs
             ha, ca = lstm_step(params["lstm_a"], xa, ha, ca)
             ht, ct = lstm_step(params["lstm_t"], xt, ht, ct)
             hv, cv = lstm_step(params["lstm_v"], xv, hv, cv)
-            graph_out = _dfg_apply(params["dfg"], ca, ct, cv)  # [b, d]
+            graph_out = _dfg_apply(params["dfg"], ca, ct, cv, drop=dfg_drop)  # [b, d]
             gate_in = jnp.concatenate([ca, ct, cv, mem], axis=-1)
-            g1 = jax.nn.sigmoid(mlp_encoder(params["gamma1"], gate_in))
-            g2 = jax.nn.sigmoid(mlp_encoder(params["gamma2"], gate_in))
+            g1 = jax.nn.sigmoid(mlp_encoder(params["gamma1"], gate_in, drop=dr(1)))
+            g2 = jax.nn.sigmoid(mlp_encoder(params["gamma2"], gate_in, drop=dr(2)))
             mem = g1 * mem + g2 * jnp.tanh(graph_out)
             return ((ha, ca), (ht, ct), (hv, cv), mem), None
 
         zeros = lambda: (jnp.zeros((b, d), a.dtype), jnp.zeros((b, d), a.dtype))
         init = (zeros(), zeros(), zeros(), jnp.zeros((b, d), a.dtype))
         xs = (jnp.swapaxes(a, 0, 1), jnp.swapaxes(t, 0, 1), jnp.swapaxes(v, 0, 1))
+        if drop_on:
+            xs = xs + (jax.random.split(train_rng, steps),)
         ((ha, _), (ht, _), (hv, _), mem), _ = jax.lax.scan(step, init, xs)
         feats = jnp.concatenate([ha, ht, hv, mem], axis=-1)
         emos, vals = _heads(params["heads"], feats)
@@ -606,15 +735,20 @@ class MCTN:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: dropout on the encoder state (mctn.py:31's
+        `self.dropout(enc_state[0].squeeze())`) + the translation MLPs
+        (the seq2seq encoder/decoder stacks each carry nn.Dropout,
+        mctn.py:20,105)."""
         t_seq = batch["texts"]
-        rep = lstm_encoder(params["enc_text"], t_seq)  # [b, d]
+        rep = lstm_encoder(params["enc_text"], t_seq,
+                           drop=_dr(train_rng, args, 0))  # [b, d]
         audio_target = jnp.mean(batch["audios"], axis=1)
         video_target = jnp.mean(batch["videos"], axis=1)
         text_target = jnp.mean(t_seq, axis=1)
 
-        ha = mlp_encoder(params["to_audio"], rep)
-        hv = mlp_encoder(params["to_video"], rep)
+        ha = mlp_encoder(params["to_audio"], rep, drop=_dr(train_rng, args, 1))
+        hv = mlp_encoder(params["to_video"], rep, drop=_dr(train_rng, args, 2))
         audio_hat = nn.dense(params["audio_out"], ha)
         video_hat = nn.dense(params["video_out"], hv)
         text_cycle = nn.dense(params["cycle_text"], ha)  # audio-space → text
@@ -654,12 +788,17 @@ class MFM:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
-        a, t, v = _encode_all(params["encoders"], args, batch)
-        shared = mlp_encoder(params["shared"], jnp.concatenate([a, t, v], axis=-1))
-        fa = mlp_encoder(params["factor_a"], a)
-        ft = mlp_encoder(params["factor_t"], t)
-        fv = mlp_encoder(params["factor_v"], v)
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
+        """train_rng: encoder dropouts + the factor MLPs' dropout between
+        their two layers (mfm.py:184-187 zy/zl/za/zv_to_f* dropouts; the
+        fy_to_y head dropout, mfm.py:201, folds into the shared factor's
+        second site)."""
+        a, t, v = _encode_all(params["encoders"], args, batch, rng=_site(train_rng, 0))
+        shared = mlp_encoder(params["shared"], jnp.concatenate([a, t, v], axis=-1),
+                             drop=_dr(train_rng, args, 1))
+        fa = mlp_encoder(params["factor_a"], a, drop=_dr(train_rng, args, 2))
+        ft = mlp_encoder(params["factor_t"], t, drop=_dr(train_rng, args, 3))
+        fv = mlp_encoder(params["factor_v"], v, drop=_dr(train_rng, args, 4))
 
         def target(x):
             return jnp.mean(x, axis=1) if x.ndim == 3 else x
@@ -708,14 +847,23 @@ class AttentionTopN:
         }
 
     @staticmethod
-    def apply(params, args: FusionArgs, batch) -> Tuple:
+    def apply(params, args: FusionArgs, batch, train_rng=None) -> Tuple:
         if "feat0" in batch:
             streams = [batch[f"feat{i}"] for i in range(len(params["encoders"]))]
         else:  # standard trainer batches: the 3-stream special case
             streams = [batch["audios"], batch["texts"], batch["videos"]]
-        hiddens = [mlp_encoder(p, x) for p, x in zip(params["encoders"], streams)]
+        # per-stream MLPEncoder dropout (attention_topn.py builds each
+        # encoder{i} with args.dropout) + the attention_mlp's
+        enc_rng = _site(train_rng, 0) if args.dropout > 0.0 else None
+        hiddens = [
+            mlp_encoder(p, x, drop=(
+                None if enc_rng is None
+                else (jax.random.fold_in(enc_rng, i), args.dropout)))
+            for i, (p, x) in enumerate(zip(params["encoders"], streams))
+        ]
         concat = jnp.concatenate(hiddens, axis=1)
-        gate = nn.dense(params["fc_att"], mlp_encoder(params["attention_mlp"], concat))
+        gate = nn.dense(params["fc_att"], mlp_encoder(
+            params["attention_mlp"], concat, drop=_dr(train_rng, args, 1)))
         stacked = jnp.stack(hiddens, axis=2)  # [b, h, n]
         feats = jnp.einsum("bhm,bm->bh", stacked, gate)
         emos, vals = _heads(params["heads"], feats)

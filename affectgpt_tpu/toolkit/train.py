@@ -95,11 +95,18 @@ def train_fusion_model(
 
     has_emo = train.emos is not None
     has_val = train.vals is not None
+    # train-mode dropout: the reference trainers run model.train() with
+    # args.dropout active (toolkit models read it into their nn.Dropout
+    # sites); evaluation below stays eval-mode (no rng).
+    drop_on = args.dropout > 0.0
+    drop_base = jax.random.PRNGKey(seed ^ 0x5EED)
 
     @jax.jit
-    def step(params, opt_state, batch, emos, vals):
+    def step(params, opt_state, batch, emos, vals, train_rng):
         def loss_fn(p):
-            _, emo_logits, val_pred, inter = model.apply(p, args, batch)
+            _, emo_logits, val_pred, inter = model.apply(
+                p, args, batch, train_rng=train_rng if drop_on else None
+            )
             loss = inter
             if has_emo:
                 loss = loss + optax.softmax_cross_entropy_with_integer_labels(
@@ -116,6 +123,7 @@ def train_fusion_model(
     n = len(train.names)
     rng = np.random.RandomState(seed)
     history = []
+    global_step = 0
     for epoch in range(epochs):
         order = rng.permutation(n)
         losses = []
@@ -128,7 +136,11 @@ def train_fusion_model(
             }
             emos = jnp.asarray(train.emos[idx]) if has_emo else jnp.zeros(len(idx), jnp.int32)
             vals = jnp.asarray(train.vals[idx]) if has_val else jnp.zeros(len(idx), jnp.float32)
-            params, opt_state, loss = step(params, opt_state, batch, emos, vals)
+            params, opt_state, loss = step(
+                params, opt_state, batch, emos, vals,
+                jax.random.fold_in(drop_base, global_step),
+            )
+            global_step += 1
             losses.append(float(loss))
         record = {"epoch": epoch, "train_loss": float(np.mean(losses))}
         if test is not None:
