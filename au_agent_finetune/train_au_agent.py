@@ -45,12 +45,17 @@ def main() -> None:
     parser.add_argument("--data", required=True)
     parser.add_argument("--lora-r", type=int, default=64)
     parser.add_argument("--lora-alpha", type=float, default=128.0)
+    # reference recipe trains with lora_dropout 0.05
+    # (au_agent_finetune/train_au_agent.sh:91, au_agent_lora_config.yaml:12)
+    parser.add_argument("--lora-dropout", type=float, default=0.05)
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--max-length", type=int, default=512)
     parser.add_argument("--output-dir", default="output/au_agent")
     parser.add_argument("--seed", type=int, default=42)
+    # registry model key — "tiny" exercises the full recipe at test geometry
+    parser.add_argument("--llama-model", default="Qwen25")
     args = parser.parse_args()
     setup_logger()
 
@@ -67,13 +72,14 @@ def main() -> None:
         records = json.load(handle)
     logger.info("loaded %d SFT records", len(records))
 
-    tokenizer = build_tokenizer({"llama_model_name": "Qwen25"})
+    tokenizer = build_tokenizer({"llama_model_name": args.llama_model})
     from affectgpt_tpu.bootstrap import build_model
 
-    cfg_dict = {"model": {"llama_model": "Qwen25", "lora_r": args.lora_r}}
+    cfg_dict = {"model": {"llama_model": args.llama_model, "lora_r": args.lora_r}}
     model_cfg, frozen, _, tokenizer = build_model(Config.from_dict(cfg_dict))
     llm_cfg = qwen2.QwenConfig(
-        **{**model_cfg.llm.__dict__, "lora_r": args.lora_r, "lora_alpha": args.lora_alpha}
+        **{**model_cfg.llm.__dict__, "lora_r": args.lora_r,
+           "lora_alpha": args.lora_alpha, "lora_dropout": args.lora_dropout}
     )
     lora = qwen2.init_lora(jax.random.PRNGKey(args.seed), llm_cfg)
 
@@ -85,11 +91,16 @@ def main() -> None:
     tx = optim.make_optimizer(schedule, weight_decay=0.0, max_grad_norm=1.0)
     opt_state = tx.init(lora)
 
+    drop_base = jax.random.PRNGKey(args.seed) if args.lora_dropout > 0 else None
+
     @jax.jit
-    def step(lora, opt_state, ids, labels, mask):
+    def step(lora, opt_state, ids, labels, mask, dropout_rng):
         def loss_fn(lora):
             embeds = qwen2.embed_tokens(frozen["llm"], ids)
-            logits, _ = qwen2.forward(frozen["llm"], llm_cfg, embeds, mask, lora=lora)
+            logits, _ = qwen2.forward(
+                frozen["llm"], llm_cfg, embeds, mask, lora=lora,
+                dropout_rng=dropout_rng if drop_base is not None else None,
+            )
             return qwen2.cross_entropy_loss(logits, labels)
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)
@@ -97,14 +108,18 @@ def main() -> None:
         return optax.apply_updates(lora, updates), opt_state, loss
 
     rng = random.Random(args.seed)
+    global_step = 0
     for epoch in range(args.epochs):
         rng.shuffle(records)
         for it in range(steps_per_epoch):
             chunk = records[it * args.batch_size : (it + 1) * args.batch_size]
             ids, labels, mask = build_batch(tokenizer, chunk, args.max_length)
             lora, opt_state, loss = step(
-                lora, opt_state, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask)
+                lora, opt_state, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
+                jax.random.fold_in(drop_base if drop_base is not None
+                                   else jax.random.PRNGKey(0), global_step),
             )
+            global_step += 1
             if it % 20 == 0:
                 logger.info("epoch %d it %d loss %.4f", epoch, it, float(loss))
         checkpoint.save_checkpoint(args.output_dir, epoch + 1, {"lora": lora})
