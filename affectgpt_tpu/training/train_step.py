@@ -56,7 +56,20 @@ def make_train_step(
     deterministic, resume-stable, and identical across processes (the
     mask of a dp-sharded batch is one logical array, so multihost loss
     stays bit-equal to single-process). None = eval-mode forward (what
-    parity oracles pin)."""
+    parity oracles pin).
+
+    Mask bits come from the "rbg" PRNG (threefry key derivation +
+    XLA RngBitGenerator for the bit stream): jax's default threefry
+    stream costs 33% of step throughput at 3B b8 on one v5e (the LoRA
+    masks are 252 [b,t,d]-shaped bernoullis per step); rbg cuts that to
+    the 11% mask-apply floor (TPU-measured same-session A/B: 26.97
+    samples/s dropout-off, 23.97 rbg, 18.09 threefry). Bits are
+    deterministic per backend (all parity/resume tests run on one
+    backend); AFFECTGPT_DROPOUT_PRNG=threefry opts back into
+    backend-portable masks."""
+    import os as _os
+
+    _impl = _os.environ.get("AFFECTGPT_DROPOUT_PRNG", "rbg")
 
     def loss_fn(trainable, frozen, batch, dropout_rng):
         return affectgpt.forward_loss(
@@ -65,7 +78,7 @@ def make_train_step(
 
     def train_step(state: TrainState, frozen, batch) -> Tuple[TrainState, Dict]:
         dropout_rng = (
-            jax.random.fold_in(jax.random.PRNGKey(dropout_seed), state.step)
+            jax.random.fold_in(jax.random.key(dropout_seed, impl=_impl), state.step)
             if dropout_seed is not None
             else None
         )

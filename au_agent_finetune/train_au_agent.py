@@ -91,7 +91,14 @@ def main() -> None:
     tx = optim.make_optimizer(schedule, weight_decay=0.0, max_grad_norm=1.0)
     opt_state = tx.init(lora)
 
-    drop_base = jax.random.PRNGKey(args.seed) if args.lora_dropout > 0 else None
+    import os as _os
+
+    # rbg bits: threefry mask generation costs ~29% of a 3B train step on
+    # one v5e (see training/train_step.py); same knob here
+    _impl = _os.environ.get("AFFECTGPT_DROPOUT_PRNG", "rbg")
+    drop_base = (
+        jax.random.key(args.seed, impl=_impl) if args.lora_dropout > 0 else None
+    )
 
     @jax.jit
     def step(lora, opt_state, ids, labels, mask, dropout_rng):
@@ -117,7 +124,7 @@ def main() -> None:
             lora, opt_state, loss = step(
                 lora, opt_state, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
                 jax.random.fold_in(drop_base if drop_base is not None
-                                   else jax.random.PRNGKey(0), global_step),
+                                   else jax.random.key(0, impl=_impl), global_step),
             )
             global_step += 1
             if it % 20 == 0:
