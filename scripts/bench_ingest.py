@@ -1,0 +1,99 @@
+"""Host ingest throughput: sampling-mode overhead (uniform vs emotion_peak).
+
+The reference's realtime table (MER-UniBench/README.md:319-324) shows
+emotion_peak sampling costing 4-8x over uniform (~2-4 min vs ~30 s for
+411 clips): its decord path re-seeks scattered AU-peak indices and loads
+au_info per clip inside the hot loop. On this stack sampling modes only
+change the integer index schedule fed to the decoder (ops/sampling.py);
+this bench measures whether emotion_peak decodes at uniform speed
+through each backend tier.
+
+Host-only (run with JAX_PLATFORMS=cpu PYTHONPATH=/root/repo — no TPU).
+
+  python scripts/bench_ingest.py [--clips 411] [--frames 8]
+
+Outputs one JSON line per (backend, sampling) cell plus the verdict line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REFERENCE_MP4 = "/root/reference/AffectGPT/demo/sample_00000000.mp4"
+
+
+def synth_au_info(vlen: int) -> dict:
+    """AU-peak record in the mer_factory_output JSON shape the sampler
+    consumes (peak 2/3 into the clip, 2 neighbours each side)."""
+    peak = max(2 * vlen // 3, 0)
+    return {
+        "total_frames": vlen,
+        "peak_frames": [{
+            "peak_index": peak,
+            "frames_before_peak": peak,
+            "frames_after_peak": max(vlen - 1 - peak, 0),
+        }],
+    }
+
+
+def bench_cell(path: str, sampling: str, clips: int, n_frms: int, vlen: int):
+    from affectgpt_tpu.data import media
+
+    au = synth_au_info(vlen) if sampling == "emotion_peak" else None
+    # warm (file cache + backend init)
+    media.read_video_frames(path, n_frms=n_frms, sampling_name=sampling, au_info=au)
+    t0 = time.perf_counter()
+    for _ in range(clips):
+        frames = media.read_video_frames(
+            path, n_frms=n_frms, sampling_name=sampling, au_info=au
+        )
+    dt = time.perf_counter() - t0
+    assert frames.shape[0] == n_frms
+    return clips / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=411)  # the reference table's unit
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--src", default=REFERENCE_MP4)
+    args = ap.parse_args()
+
+    from affectgpt_tpu.data import ingest, media
+
+    vlen = sum(1 for _ in ingest.iter_video_frames(args.src))
+    results = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        avi = os.path.join(tmp, "clip.avi")
+        ingest.transcode_video(args.src, avi)
+        for backend, path in (("native_mjpeg_avi", avi), ("cv2_mp4", args.src)):
+            for sampling in ("uniform", "emotion_peak"):
+                cps = bench_cell(path, sampling, args.clips, args.frames, vlen)
+                results[f"{backend}/{sampling}"] = cps
+                print(json.dumps({
+                    "metric": f"ingest clips/s ({backend}, {sampling}, "
+                              f"{args.frames} frms)",
+                    "value": round(cps, 1),
+                    "unit": "clips/s",
+                }), flush=True)
+
+    ratio = results["native_mjpeg_avi/emotion_peak"] / results["native_mjpeg_avi/uniform"]
+    print(json.dumps({
+        "metric": "emotion_peak/uniform ingest throughput ratio (native tier)",
+        "value": round(ratio, 3),
+        "unit": "x",
+        "reference_ratio": "0.125-0.25 (2-4 min vs 30 s, MER-UniBench/README.md:321-322)",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
