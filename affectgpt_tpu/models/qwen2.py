@@ -392,10 +392,7 @@ def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True, drop=None)
     if lora is not None:
         xl = x
         if drop is not None:
-            key, rate = drop
-            keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-            xl = jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype),
-                           jnp.zeros((), x.dtype))
+            xl = nn.dropout(drop[0], drop[1], x)
         z = jnp.dot(xl, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
         z = jnp.dot(z.astype(x.dtype), lora["b"].astype(x.dtype), preferred_element_type=jnp.float32)
         y = y + scaling * z

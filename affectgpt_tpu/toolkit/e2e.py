@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from affectgpt_tpu.models import clip_vit, hubert, nn
-from affectgpt_tpu.toolkit.models import FusionArgs, _heads, _heads_init
+from affectgpt_tpu.toolkit.models import FusionArgs, _drop, _heads, _heads_init, _site
 
 
 @dataclass(frozen=True)
@@ -67,8 +67,6 @@ def apply(params: dict, cfg: E2EConfig, batch, train_rng=None) -> Tuple:
     train_rng: dropout on the three fusion projections (the reference's
     MLPEncoder(..., dropout) fusion encoder, e2e_model.py:31); None =
     eval mode."""
-    from affectgpt_tpu.toolkit.models import _drop, _site
-
     frames = batch["frames"]
     b, t = frames.shape[:2]
     flat = frames.reshape(b * t, *frames.shape[2:])

@@ -129,16 +129,17 @@ class Runner:
         self.frozen = mesh_lib.shard_params(self.mesh, frozen)
         remat_cfg = run.get("remat", False)  # False | True | "dots"
         # train-mode dropout: the reference trains under model.train()
-        # (runner_base.py:461), so LoRA dropout (peft 0.05) is active by
-        # default; model.lora_dropout: 0 in the YAML disables. Validation
-        # below stays eval-mode (no rng), like runner_base.py:496.
+        # (runner_base.py:461) — the seed is passed unconditionally so
+        # EVERY site's own rate gates itself: LoRA dropout (peft 0.05;
+        # YAML model.lora_dropout: 0 disables that site only) and the
+        # merger Q-Formers' BERT dropouts (0.1, active whenever the
+        # fusion type is qformer, independent of lora_dropout — exactly
+        # torch's model.train()). Validation below stays eval-mode
+        # (no rng), like runner_base.py:496.
         self.step_fn = train_step.compile_train_step(
             self.mesh, model_cfg, self.tx, self.state, self.frozen,
             remat=remat_cfg if remat_cfg == "dots" else bool(remat_cfg),
-            dropout_seed=(
-                int(run.get("seed", 42))
-                if model_cfg.llm.lora_dropout > 0 else None
-            ),
+            dropout_seed=int(run.get("seed", 42)),
         )
 
         if bool(run.get("smoke_check", True)):

@@ -96,9 +96,10 @@ def main() -> None:
     # rbg bits: threefry mask generation costs ~29% of a 3B train step on
     # one v5e (see training/train_step.py); same knob here
     _impl = _os.environ.get("AFFECTGPT_DROPOUT_PRNG", "rbg")
-    drop_base = (
-        jax.random.key(args.seed, impl=_impl) if args.lora_dropout > 0 else None
-    )
+    # a dummy key still feeds the jit arg when dropout is off (the jitted
+    # step ignores it via the drop_base closure gate)
+    drop_base = jax.random.key(args.seed, impl=_impl) if args.lora_dropout > 0 else None
+    dummy_key = jax.random.key(0, impl=_impl)
 
     @jax.jit
     def step(lora, opt_state, ids, labels, mask, dropout_rng):
@@ -123,8 +124,8 @@ def main() -> None:
             ids, labels, mask = build_batch(tokenizer, chunk, args.max_length)
             lora, opt_state, loss = step(
                 lora, opt_state, jnp.asarray(ids), jnp.asarray(labels), jnp.asarray(mask),
-                jax.random.fold_in(drop_base if drop_base is not None
-                                   else jax.random.key(0, impl=_impl), global_step),
+                jax.random.fold_in(drop_base, global_step)
+                if drop_base is not None else dummy_key,
             )
             global_step += 1
             if it % 20 == 0:

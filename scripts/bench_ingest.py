@@ -50,14 +50,14 @@ def bench_cell(path: str, sampling: str, clips: int, n_frms: int, vlen: int):
 
     au = synth_au_info(vlen) if sampling == "emotion_peak" else None
     # warm (file cache + backend init)
-    media.read_video_frames(path, n_frms=n_frms, sampling_name=sampling, au_info=au)
+    frames = media.read_video_frames(
+        path, n_frms=n_frms, sampling_name=sampling, au_info=au
+    )
+    assert frames.shape[0] == n_frms
     t0 = time.perf_counter()
     for _ in range(clips):
-        frames = media.read_video_frames(
-            path, n_frms=n_frms, sampling_name=sampling, au_info=au
-        )
+        media.read_video_frames(path, n_frms=n_frms, sampling_name=sampling, au_info=au)
     dt = time.perf_counter() - t0
-    assert frames.shape[0] == n_frms
     return clips / dt
 
 

@@ -67,7 +67,7 @@ def main():
     # TRAIN_BENCH_DROPOUT=1 measures the production-runner configuration
     # (train-mode LoRA dropout, reference peft 0.05); default off keeps the
     # harness comparable with earlier recorded sweeps
-    dropout_seed = 42 if os.environ.get("TRAIN_BENCH_DROPOUT") else None
+    dropout_seed = 42 if os.environ.get("TRAIN_BENCH_DROPOUT", "0") == "1" else None
     step_fn = jax.jit(
         ts.make_train_step(cfg, tx, remat=REMAT, dropout_seed=dropout_seed),
         donate_argnums=(0,),

@@ -23,10 +23,12 @@ FROZEN = affectgpt.init_frozen(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
 TRAINABLE = affectgpt.init_trainable(jax.random.PRNGKey(1), CFG)
 # standard LoRA init has B=0 (branch output identically zero), which would
 # make input dropout a loss no-op — randomize B so the branch is live
+import zlib
+
 TRAINABLE["lora"] = jax.tree_util.tree_map_with_path(
     lambda path, leaf: (
         jax.random.normal(
-            jax.random.PRNGKey(hash(str(path)) % (2**31)), leaf.shape
+            jax.random.PRNGKey(zlib.crc32(str(path).encode()) % (2**31)), leaf.shape
         ).astype(leaf.dtype)
         if path[-1].key == "b"
         else leaf
@@ -172,6 +174,24 @@ class TestQFormerDropout:
         np.testing.assert_array_equal(o_a1, o_a2)
         assert not np.array_equal(o_a1, o_eval)
         assert not np.array_equal(o_a1, o_b)
+
+    def test_bert_dropout_independent_of_lora_rate(self):
+        """model.train() semantics: lora_dropout: 0 must disable ONLY the
+        LoRA site — the trainable merger Q-Formers' BERT dropouts stay
+        active (the runner passes dropout_seed unconditionally)."""
+        cfg = dataclasses.replace(
+            affectgpt.AffectGPTConfig.tiny(),
+            video_fusion_type="qformer", audio_fusion_type="qformer",
+        )
+        cfg = dataclasses.replace(cfg, llm=dataclasses.replace(cfg.llm, lora_dropout=0.0))
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg)
+        batch = _batch()
+        tx = optax.sgd(1e-3)
+        state = ts.create_train_state(trainable, tx)
+        l_eval = float(affectgpt.forward_loss(frozen, trainable, cfg, batch))
+        _, m = ts.make_train_step(cfg, tx, dropout_seed=7)(state, frozen, batch)
+        assert float(m["loss"]) != l_eval  # qformer dropout alive at lora rate 0
 
     def test_merger_path_threading(self):
         """forward_loss must route the rng into qformer-fusion mergers:
