@@ -42,6 +42,10 @@ class FusionArgs:
     # LSTMEncoder/nn.Dropout sites). Train-mode only: active iff apply()
     # receives train_rng; evaluation always runs eval-mode identity.
     dropout: float = 0.0
+    # args.grad_clip — every reference baseline stores it for its trainer
+    # (e.g. attention.py:19); MERBench convention: -1 disables, otherwise
+    # clip_grad_norm_ with this max norm.
+    grad_clip: float = -1.0
     feat_type: str = "utt"  # utt | frm_align | frm_unalign
     # Attention_TOPN stream dims (reference stores the list in args.audio_dim,
     # attention_topn.py:13); empty → the standard (audio, text, video) triple.

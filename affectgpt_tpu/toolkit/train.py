@@ -90,7 +90,13 @@ def train_fusion_model(
 
     model = FUSION_MODELS[model_name]
     params = model.init(jax.random.PRNGKey(seed), args)
-    tx = optax.adam(lr)
+    # args.grad_clip: the reference models carry it for their trainer
+    # (attention.py:19 etc.; MERBench convention: -1 disables, else
+    # clip_grad_norm_ before the optimizer step)
+    if args.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), optax.adam(lr))
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     has_emo = train.emos is not None

@@ -101,6 +101,23 @@ def test_trainer_dropout_changes_training():
     assert hist_on[0]["train_loss"] != hist_off[0]["train_loss"]
 
 
+def test_trainer_grad_clip():
+    """args.grad_clip > 0 clips the global grad norm (MERBench -1-disables
+    convention; the reference models store it for their trainer,
+    attention.py:19). A clipped run must still learn and differ from the
+    unclipped trajectory at a tiny max norm."""
+    from tests.test_toolkit_train import make_tables
+
+    from affectgpt_tpu.toolkit.train import train_fusion_model
+
+    args, table = make_tables(n=32)
+    _, hist_off = train_fusion_model("attention", args, table, epochs=2, batch_size=16)
+    _, hist_clip = train_fusion_model(
+        "attention", replace(args, grad_clip=1e-3), table, epochs=2, batch_size=16)
+    assert hist_clip[-1]["train_loss"] != hist_off[-1]["train_loss"]
+    assert np.isfinite(hist_clip[-1]["train_loss"])
+
+
 def test_e2e_dropout():
     from affectgpt_tpu.toolkit import e2e
 
