@@ -175,6 +175,35 @@ class TestQFormerDropout:
         assert not np.array_equal(o_a1, o_eval)
         assert not np.array_equal(o_a1, o_b)
 
+    def test_resume_reproduces_mask_sequence(self):
+        """fold_in(seed, state.step) makes dropout resume-stable: running
+        4 steps straight must equal 2 steps + (checkpoint-style) restore +
+        2 steps bitwise — the restored state.step re-derives the exact
+        per-step keys."""
+        batch = _batch()
+        tx = optax.sgd(1e-3)
+        step = ts.make_train_step(CFG, tx, dropout_seed=11)
+
+        s_straight = ts.create_train_state(TRAINABLE, tx)
+        for _ in range(4):
+            s_straight, m_straight = step(s_straight, FROZEN, batch)
+
+        s_resumed = ts.create_train_state(TRAINABLE, tx)
+        for _ in range(2):
+            s_resumed, _ = step(s_resumed, FROZEN, batch)
+        # checkpoint round trip: host copy of the full state
+        payload = jax.tree.map(np.asarray, s_resumed)
+        s_resumed = jax.tree.map(jnp.asarray, payload)
+        for _ in range(2):
+            s_resumed, m_resumed = step(s_resumed, FROZEN, batch)
+
+        np.testing.assert_array_equal(
+            np.asarray(m_straight["loss"]), np.asarray(m_resumed["loss"]))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+            s_straight.trainable, s_resumed.trainable,
+        )
+
     def test_bert_dropout_independent_of_lora_rate(self):
         """model.train() semantics: lora_dropout: 0 must disable ONLY the
         LoRA site — the trainable merger Q-Formers' BERT dropouts stay
