@@ -16,6 +16,9 @@ to converted checkpoints.
 Run: python scripts/bench_realtime.py      (one TPU process at a time)
 Env: RT_BATCH (64), RT_FRAMES (8), RT_NEW (32), RT_W8A8=1 (int8 encoders).
      RT_SKIP=visual|audio drops one encoder side — attribution sweeps.
+     RT_HYBRID=1: frame features preextracted (no frame-CLIP pass), face +
+     audio still realtime — the reference's frame-preextracted mode
+     (~40 s / 411 clips ≈ 10.3 clips/s, MER-UniBench/README.md:323).
 """
 
 from __future__ import annotations
@@ -83,11 +86,13 @@ def main():
     hw = 28 if tiny else 224
     samples = 800 if tiny else SAMPLES
     skip = os.environ.get("RT_SKIP", "")
+    hybrid = os.environ.get("RT_HYBRID", "0") == "1"
     raw = {}
     if skip != "visual":
-        raw["frame"] = jnp.asarray(
-            rng.randint(0, 255, (BATCH, FRAMES, hw, hw, 3)), jnp.uint8
-        )
+        if not hybrid:  # hybrid: frame features arrive preextracted
+            raw["frame"] = jnp.asarray(
+                rng.randint(0, 255, (BATCH, FRAMES, hw, hw, 3)), jnp.uint8
+            )
         raw["face"] = jnp.asarray(
             rng.randint(0, 255, (BATCH, FRAMES, hw, hw, 3)), jnp.uint8
         )
@@ -95,6 +100,10 @@ def main():
         raw["audio"] = jnp.asarray(
             rng.randn(BATCH, FRAMES, 1, samples) * 0.1, jnp.bfloat16
         )
+    pre_frame = (
+        jnp.asarray(rng.randn(BATCH, FRAMES, cfg.visual_dim), jnp.bfloat16)
+        if hybrid and skip != "visual" else None
+    )
     # reuse the main bench's prompt/offsets (patch ids zeroed host-side)
     input_ids, _, offsets = make_clip_batch(cfg, BATCH)
     lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
@@ -102,10 +111,12 @@ def main():
     max_len = PROMPT_LEN + NEW + 32
 
     @jax.jit
-    def realtime_clip_to_tokens(frozen, trainable, raw, input_ids, lengths):
+    def realtime_clip_to_tokens(frozen, trainable, raw, pre_frame, input_ids, lengths):
         feats = chat_mod.encode_media_features(
             frozen, cfg, raw, vision_cfg=vision_cfg, audio_cfg=audio_cfg
         )
+        if pre_frame is not None:  # hybrid: preextracted frame features
+            feats["frame"] = pre_frame
         feats = {m: f.astype(jnp.bfloat16) for m, f in feats.items()}
         embeds = affectgpt.build_inputs_embeds(
             frozen, trainable, cfg, input_ids, feats, offsets
@@ -115,13 +126,14 @@ def main():
             max_len=max_len, lora=None,
         )
 
-    tokens, _ = realtime_clip_to_tokens(frozen, trainable, raw, input_ids, lengths)
+    tokens, _ = realtime_clip_to_tokens(frozen, trainable, raw, pre_frame, input_ids, lengths)
     np.asarray(tokens)  # compile + fence (axon: block_until_ready lies)
 
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        tokens, _ = realtime_clip_to_tokens(frozen, trainable, raw, input_ids, lengths)
+        tokens, _ = realtime_clip_to_tokens(
+            frozen, trainable, raw, pre_frame, input_ids, lengths)
         np.asarray(tokens)
     dt = time.perf_counter() - t0
     cps = BATCH * iters / dt
@@ -133,6 +145,7 @@ def main():
                     + ("tiny-smoke" if tiny else "CLIP-L + HuBERT-large on device, 3B LLM")
                     + f", {FRAMES} frames+faces, {NEW}-tok decode, batch {BATCH}"
                     + (f", skip={skip}" if skip else "")
+                    + (", HYBRID frame-preextracted" if hybrid else "")
                     + ")"
                 ),
                 "value": round(cps, 2),
