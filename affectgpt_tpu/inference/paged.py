@@ -55,8 +55,26 @@ def init_paged_cache(llm_cfg: qwen2.QwenConfig, pcfg: PagedConfig, dtype=jnp.bfl
         shape = (pcfg.num_blocks, pcfg.block_size, llm_cfg.num_kv_heads, llm_cfg.head_dim)
         buf = {"k": jnp.zeros(shape, dtype=dtype), "v": jnp.zeros(shape, dtype=dtype)}
         if dtype == jnp.int8:
-            buf["k_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
-            buf["v_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+            # Scale-pool layout is geometry-gated:
+            # - FLAT [num_blocks, block·kv] (token-major, kv-minor) when
+            #   block·kv ≥ 128: a trailing kv(/1) minor dim lane-pads to
+            #   128 on TPU — measured 32× HLO-temp expansion (97 MB per
+            #   copy at 7B s384/512-tok tables: f32[6208,32,4] → T(8,128))
+            #   which OOMed the over-provisioned capacity config outright;
+            #   flat block32·kv4 is exactly one 128-lane row (zero pad)
+            #   and the same config then runs at 39.2 clips/s.
+            # - legacy [num_blocks, block, kv, 1] below that: at 3B
+            #   (block32·kv2 = 64) the flat layout's lane-sliver repacks
+            #   measured −12% e2e (75.4 vs 86.1 clips/s, s256/512 reqs) —
+            #   prefill scale repack + computed-column decode scatter cost
+            #   more than the padding they save at small pools.
+            if pcfg.block_size * llm_cfg.num_kv_heads >= 128:
+                flat = (pcfg.num_blocks, pcfg.block_size * llm_cfg.num_kv_heads)
+                buf["k_scale"] = jnp.zeros(flat, dtype=jnp.float32)
+                buf["v_scale"] = jnp.zeros(flat, dtype=jnp.float32)
+            else:
+                buf["k_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
+                buf["v_scale"] = jnp.zeros(shape[:3] + (1,), dtype=jnp.float32)
         return buf
 
     return [layer_buf() for _ in range(llm_cfg.num_layers)]
@@ -114,12 +132,21 @@ def paged_write(pool: dict, k_new, v_new, block_ids, offsets) -> dict:
     if pool["k"].dtype == jnp.int8:
         (k_q, k_s) = qwen2._quantize_kv(k_new)
         (v_q, v_s) = qwen2._quantize_kv(v_new)
-        return {
+        out = {
             "k": pool["k"].at[block_ids, offsets].set(k_q),
             "v": pool["v"].at[block_ids, offsets].set(v_q),
-            "k_scale": pool["k_scale"].at[block_ids, offsets].set(k_s),
-            "v_scale": pool["v_scale"].at[block_ids, offsets].set(v_s),
         }
+        if pool["k_scale"].ndim == 2:
+            # flat scale pools [blocks, block·kv]: row for (offset, head h)
+            # is offset·kv + h
+            kv = pool["k"].shape[2]
+            cols = offsets[:, None] * kv + jnp.arange(kv)[None, :]  # [b, kv]
+            out["k_scale"] = pool["k_scale"].at[block_ids[:, None], cols].set(k_s[..., 0])
+            out["v_scale"] = pool["v_scale"].at[block_ids[:, None], cols].set(v_s[..., 0])
+        else:  # legacy [blocks, block, kv, 1]
+            out["k_scale"] = pool["k_scale"].at[block_ids, offsets].set(k_s)
+            out["v_scale"] = pool["v_scale"].at[block_ids, offsets].set(v_s)
+        return out
     return {
         "k": pool["k"].at[block_ids, offsets].set(k_new.astype(pool["k"].dtype)),
         "v": pool["v"].at[block_ids, offsets].set(v_new.astype(pool["v"].dtype)),
@@ -138,6 +165,19 @@ def paged_attention_auto(
     if use_pallas and jax.default_backend() == "tpu":
         from affectgpt_tpu.ops.paged_attention_pallas import paged_attention_pallas
 
+        if k_scale is not None:
+            # the kernel streams per-page scale rows as [1, kv, block]
+            # side pages; storage is flat [blocks, block·kv] or legacy
+            # [blocks, block, kv, 1] (see init_paged_cache) — transpose
+            # per call on this opt-in path (the [blocks, kv, block] TEMP
+            # pads 8×, vs 256× for a trailing-1 layout; never at rest)
+            nb, blk = pool_k.shape[0], pool_k.shape[1]
+            if k_scale.ndim == 2:
+                k_scale = k_scale.reshape(nb, blk, num_kv_heads).transpose(0, 2, 1)
+                v_scale = v_scale.reshape(nb, blk, num_kv_heads).transpose(0, 2, 1)
+            else:
+                k_scale = k_scale[..., 0].transpose(0, 2, 1)
+                v_scale = v_scale[..., 0].transpose(0, 2, 1)
         return paged_attention_pallas(
             q, pool_k, pool_v, block_tables, seq_lens, num_kv_heads,
             k_scale=k_scale, v_scale=v_scale,
@@ -154,12 +194,13 @@ def paged_attention(
     block_tables: jnp.ndarray,  # [b, max_blocks_per_seq] int32
     seq_lens: jnp.ndarray,  # [b] tokens valid per sequence
     num_kv_heads: int,
-    k_scale=None,  # int8 pools: [blocks, block, kv, 1] fp32
+    k_scale=None,  # int8 pools: FLAT [blocks, block·kv] fp32 (token-major)
     v_scale=None,
 ) -> jnp.ndarray:
     """GQA attention over paged K/V (XLA gather reference). Returns
     [b, heads, d]. int8 pools: scales applied outside the contractions
-    (same identities as qwen2._attention)."""
+    (same identities as qwen2._attention); the flat scale gather reshapes
+    straight to [b, nblk·blk, kv] (identical element order)."""
     b, heads, d = q.shape
     groups = heads // num_kv_heads
     # gather pages: [b, nblk, blk, kv, d]
@@ -389,6 +430,9 @@ class PagedBatchServer:
             tp = mesh.shape.get("tp", 1)
             kv_axis = "tp" if cfg.llm.num_kv_heads % max(tp, 1) == 0 else None
             self._pool_sharding = NamedSharding(mesh, P(None, None, kv_axis, None))
+            # flat [blocks, block·kv] scale pools: replicated (tiny; GSPMD
+            # reconciles with the kv-sharded value pools in the gather math)
+            self._scale_sharding = NamedSharding(mesh, P(None, None))
             from affectgpt_tpu.models import qwen2 as _q
 
             _q.mark_tp_serving()  # Pallas decode kernels have no GSPMD rule
@@ -401,7 +445,11 @@ class PagedBatchServer:
         self.pools = init_paged_cache(cfg.llm, self.pcfg, dtype=dtype)
         if self._pool_sharding is not None:
             self.pools = jax.tree.map(
-                lambda x: jax.device_put(x, self._pool_sharding), self.pools
+                lambda x: jax.device_put(
+                    x,
+                    self._pool_sharding if x.ndim == 4 else self._scale_sharding,
+                ),
+                self.pools,
             )
         self.alloc = BlockAllocator(self.pcfg)
         self.slots = [None] * max_slots  # per-slot dict or None
@@ -766,15 +814,19 @@ def prefill_batch_into_pages(
     for i, layer_cache in enumerate(cache):
         # int8 pools: the dense prefill cache is already quantized (same
         # dtype), so the per-row scales scatter alongside the values. Dense
-        # scale pools are [b, kv, t] (no trailing 1 — TPU lane padding);
-        # page scale pools keep [.., 1], so re-add the axis for the scatter.
+        # scale pools are [b, kv, t]; page scale pools are FLAT
+        # [blocks, block·kv] (token-major), so flatten the unshifted
+        # [N, block, kv] pages.
         layer_pool = {}
         for name in pools[i]:
             src = layer_cache[name]
             if src.ndim == 3:
                 src = src[..., None]
+            pages = unshift_pages(src)  # [N, block, kv, d-or-1]
+            if pools[i][name].ndim == 2:  # flat scale pool
+                pages = pages[..., 0].reshape(pages.shape[0], -1)
             layer_pool[name] = pools[i][name].at[ids].set(
-                unshift_pages(src).astype(pools[i][name].dtype))
+                pages.astype(pools[i][name].dtype))
         new_pools.append(layer_pool)
     return logits[:, -1], new_pools
 
@@ -832,7 +884,10 @@ def prefill_into_pages(
             src = layer_cache[name]
             if src.ndim == 3:  # dense scale pools are [b, kv, t]
                 src = src[..., None]
+            pages = unshift(src)  # [n_blocks, block, kv, d-or-1]
+            if pools[i][name].ndim == 2:  # flat scale pool [blocks, block·kv]
+                pages = pages[..., 0].reshape(pages.shape[0], -1)
             layer_pool[name] = pools[i][name].at[ids].set(
-                unshift(src).astype(pools[i][name].dtype))
+                pages.astype(pools[i][name].dtype))
         new_pools.append(layer_pool)
     return logits[0, -1], new_pools

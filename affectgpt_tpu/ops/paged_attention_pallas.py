@@ -115,8 +115,8 @@ def _kernel_int8(
     q_ref,  # [1, heads, d]
     k_page_ref,  # [1, block, kv, d] int8
     v_page_ref,  # [1, block, kv, d] int8
-    ks_page_ref,  # [1, block, kv, 1] f32 per-row scales
-    vs_page_ref,  # [1, block, kv, 1] f32
+    ks_page_ref,  # [1, kv, block] f32 per-row scales (kv-major side pages)
+    vs_page_ref,  # [1, kv, block] f32
     # output
     o_ref,  # [1, heads, d]
     # scratch
@@ -153,8 +153,8 @@ def _kernel_int8(
         q = q_ref[0].astype(jnp.float32).reshape(num_kv_heads, groups, head_dim)
         k = jnp.transpose(k_page_ref[0].astype(jnp.float32), (1, 0, 2))  # [kv, block, d]
         v = jnp.transpose(v_page_ref[0].astype(jnp.float32), (1, 0, 2))
-        ks = jnp.transpose(ks_page_ref[0, :, :, 0], (1, 0))  # [kv, block]
-        vs = jnp.transpose(vs_page_ref[0, :, :, 0], (1, 0))
+        ks = ks_page_ref[0]  # [kv, block] — side pages arrive kv-major
+        vs = vs_page_ref[0]
 
         scores = jax.lax.dot_general(
             q, k,
@@ -199,7 +199,7 @@ def paged_attention_pallas(
     block_tables: jnp.ndarray,  # [b, max_blocks] int32
     seq_lens: jnp.ndarray,  # [b] int32
     num_kv_heads: int,
-    k_scale: jnp.ndarray | None = None,  # int8 pools: [blocks, block, kv, 1] f32
+    k_scale: jnp.ndarray | None = None,  # int8 pools: [blocks, kv, block] f32
     v_scale: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -215,7 +215,7 @@ def paged_attention_pallas(
         (1, block_size, kv, d), lambda i, j, tables, lens: (tables[i, j], 0, 0, 0)
     )
     scale_spec = pl.BlockSpec(
-        (1, block_size, kv, 1), lambda i, j, tables, lens: (tables[i, j], 0, 0, 0)
+        (1, kv, block_size), lambda i, j, tables, lens: (tables[i, j], 0, 0)
     )
     in_specs = [
         pl.BlockSpec((1, heads, d), lambda i, j, tables, lens: (i, 0, 0)),

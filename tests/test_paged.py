@@ -259,21 +259,89 @@ class TestInt8PagedPool:
     parity with the fp pool through the full PagedBatchServer."""
 
     def test_pool_shapes(self):
+        """Scale layout is geometry-gated: legacy [blocks, block, kv, 1]
+        at small block·kv (faster scatters, measured at 3B); FLAT
+        [blocks, block·kv] when block·kv ≥ 128 (a trailing kv/1 minor dim
+        lane-pads 32-256× on TPU — the 7B s384 capacity-config OOM)."""
         pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.int8)
         p = pools[0]
         assert p["k"].dtype == jnp.int8
-        assert p["k_scale"].shape == p["k"].shape[:3] + (1,)
+        assert p["k_scale"].shape == p["k"].shape[:3] + (1,)  # tiny → legacy
         assert p["k_scale"].dtype == jnp.float32
+
+        wide = paged.PagedConfig(block_size=128 // CFG.num_kv_heads,
+                                 num_blocks=8, max_blocks_per_seq=4)
+        pw = paged.init_paged_cache(CFG, wide, dtype=jnp.int8)[0]
+        assert pw["k_scale"].shape == (8, 128)  # flat, one exact lane row
 
     def test_write_quantizes(self):
         pools = paged.init_paged_cache(CFG, PCFG, dtype=jnp.int8)
-        k_new = jax.random.normal(jax.random.PRNGKey(0), (2, CFG.num_kv_heads, CFG.head_dim))
-        v_new = jax.random.normal(jax.random.PRNGKey(1), (2, CFG.num_kv_heads, CFG.head_dim))
+        kv = CFG.num_kv_heads
+        k_new = jax.random.normal(jax.random.PRNGKey(0), (2, kv, CFG.head_dim))
+        v_new = jax.random.normal(jax.random.PRNGKey(1), (2, kv, CFG.head_dim))
         new = paged.paged_write(
             pools[0], k_new, v_new, jnp.array([1, 2]), jnp.array([0, 3]))
         recon = (np.asarray(new["k"][1, 0], np.float32)
                  * np.asarray(new["k_scale"][1, 0]))
         np.testing.assert_allclose(recon, np.asarray(k_new[0]), atol=0.02)
+
+    def test_write_quantizes_flat_layout(self):
+        """Same contract through the flat scale layout (block·kv ≥ 128)."""
+        kv = CFG.num_kv_heads
+        wide = paged.PagedConfig(block_size=128 // kv, num_blocks=8,
+                                 max_blocks_per_seq=4)
+        pools = paged.init_paged_cache(CFG, wide, dtype=jnp.int8)
+        k_new = jax.random.normal(jax.random.PRNGKey(0), (2, kv, CFG.head_dim))
+        v_new = jax.random.normal(jax.random.PRNGKey(1), (2, kv, CFG.head_dim))
+        new = paged.paged_write(
+            pools[0], k_new, v_new, jnp.array([1, 2]), jnp.array([0, 3]))
+        # scale for (offset o, head h) lives at flat column o·kv + h
+        recon = (np.asarray(new["k"][1, 0], np.float32)
+                 * np.asarray(new["k_scale"][1, :kv])[:, None])
+        np.testing.assert_allclose(recon, np.asarray(k_new[0]), atol=0.02)
+        recon2 = (np.asarray(new["k"][2, 3], np.float32)
+                  * np.asarray(new["k_scale"][2, 3 * kv:4 * kv])[:, None])
+        np.testing.assert_allclose(recon2, np.asarray(k_new[1]), atol=0.02)
+
+    def test_flat_layout_greedy_matches_dense(self):
+        """Prefill→decode greedy parity through the FLAT scale layout
+        (block·kv ≥ 128): the dense generate path is the oracle."""
+        kv = CFG.num_kv_heads
+        wide = paged.PagedConfig(block_size=128 // kv, num_blocks=8,
+                                 max_blocks_per_seq=2)
+        t_prompt, n_new = 7, 5
+        ids = jax.random.randint(jax.random.PRNGKey(21), (1, t_prompt), 0, 250)
+        embeds = qwen2.embed_tokens(PARAMS, ids)
+        gcfg = gen.GenerateConfig(max_new_tokens=n_new, do_sample=False,
+                                  eos_token_id=257)
+        ref_tokens, ref_valid = gen.generate(
+            PARAMS, CFG, gcfg, embeds, jnp.array([t_prompt]),
+            jax.random.PRNGKey(2), max_len=32, cache_dtype=jnp.int8,
+        )
+        ref = list(np.asarray(ref_tokens[0][: int(ref_valid[0])]))
+
+        pools = paged.init_paged_cache(CFG, wide, dtype=jnp.int8)
+        assert pools[0]["k_scale"].ndim == 2  # flat layout engaged
+        alloc = paged.BlockAllocator(wide)
+        table = alloc.allocate(t_prompt)
+        padded = np.zeros(wide.max_blocks_per_seq, np.int32)
+        padded[: len(table)] = table
+        last_logits, pools = paged.prefill_into_pages(
+            PARAMS, CFG, pools, embeds, padded, wide)
+        tokens = [int(jnp.argmax(last_logits))]
+        pos = t_prompt
+        for _ in range(n_new - 1):
+            if tokens[-1] == 257:
+                break
+            alloc.extend(table, pos, pos + 1)
+            padded[: len(table)] = table
+            logits, pools = paged.paged_decode_step(
+                PARAMS, CFG, pools, jnp.asarray([tokens[-1]]),
+                jnp.asarray([pos]), jnp.asarray(padded[None]), wide)
+            tokens.append(int(jnp.argmax(logits[0])))
+            pos += 1
+        got = [t for t in tokens if t != 257][: len(ref)]
+        assert got == ref, (got, ref)
 
     def test_server_greedy_matches_fp_pool(self):
         from affectgpt_tpu.inference.paged import PagedBatchServer

@@ -49,8 +49,13 @@ def test_int8_pool_kernel_matches_xla_reference(seq_lens):
     vs = np.abs(vals_v).max(-1, keepdims=True) / 127.0 + 1e-9
     pool_k = jnp.asarray(np.round(vals_k / ks), jnp.int8)
     pool_v = jnp.asarray(np.round(vals_v / vs), jnp.int8)
-    k_scale = jnp.asarray(ks, jnp.float32)
-    v_scale = jnp.asarray(vs, jnp.float32)
+    # storage layout is FLAT [blocks, block·kv] (paged.init_paged_cache);
+    # the kernel consumes kv-major [blocks, kv, block] side pages (the
+    # dispatch in paged_attention_auto does this transpose)
+    scale_flat_k = jnp.asarray(ks[..., 0].reshape(num_blocks, block * kv), jnp.float32)
+    scale_flat_v = jnp.asarray(vs[..., 0].reshape(num_blocks, block * kv), jnp.float32)
+    kernel_ks = jnp.asarray(ks[..., 0].transpose(0, 2, 1), jnp.float32)
+    kernel_vs = jnp.asarray(vs[..., 0].transpose(0, 2, 1), jnp.float32)
 
     tables = np.zeros((b, max_blocks), np.int32)
     tables[0] = [1, 2, 3, 4]
@@ -58,9 +63,10 @@ def test_int8_pool_kernel_matches_xla_reference(seq_lens):
     tables = jnp.asarray(tables)
     lens = jnp.asarray(seq_lens, jnp.int32)
 
-    ref = paged_attention(q, pool_k, pool_v, tables, lens, kv, k_scale, v_scale)
+    ref = paged_attention(
+        q, pool_k, pool_v, tables, lens, kv, scale_flat_k, scale_flat_v)
     got = paged_attention_pallas(
-        q, pool_k, pool_v, tables, lens, kv, k_scale=k_scale, v_scale=v_scale,
+        q, pool_k, pool_v, tables, lens, kv, k_scale=kernel_ks, v_scale=kernel_vs,
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
