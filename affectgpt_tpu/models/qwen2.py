@@ -575,7 +575,17 @@ def _decode_mlp_fused(
     ):
         # bf16 split layout (ops/decode_mlp_bf16_pallas; TPU-measured +1.3%
         # e2e at 3B b384 — weights stream, activations stay in VMEM)
-        from affectgpt_tpu.ops.decode_mlp_bf16_pallas import decode_mlp_bf16
+        from affectgpt_tpu.ops.decode_mlp_bf16_pallas import (
+            decode_mlp_bf16,
+            fits_vmem,
+        )
+
+        # the one-tile batch layout scales VMEM with b: past the bound
+        # (b=512 at 3B geometry) no weight block fits Mosaic's 16 MB
+        # scoped limit and the kernel cannot compile — fall back to XLA
+        ws = jnp.dtype(layer["gate_proj"]["w"].dtype).itemsize
+        if not fits_vmem(b, cfg.hidden_size, ws):
+            return None
 
         y = decode_mlp_bf16(
             x[:, 0, :], layer["post_attn_ln"]["scale"],

@@ -70,6 +70,22 @@ def _kernel(
         o_ref[:] = out.astype(o_ref.dtype)
 
 
+def min_vmem_bytes(b: int, h: int, ws: int = 2) -> int:
+    """Scoped-VMEM working set at the smallest weight block (block_i=128):
+    double-buffered x/o tiles + xn scratch + f32 accumulator + the
+    double-buffered gate/up/down weight blocks. The one-tile batch layout
+    (the whole point of the kernel — x/o transfer once) makes this scale
+    with b, so past a batch bound the kernel cannot compile at all
+    (measured: b=512/h=2048 bf16 = 17.43 MB vs Mosaic's 16 MB scoped
+    limit). Dispatch must check fits_vmem and fall back to XLA."""
+    return 4 * b * h * ws + b * h * ws + 4 * b * h + 6 * h * 128 * ws
+
+
+def fits_vmem(b: int, h: int, ws: int = 2) -> bool:
+    """True when some weight block size can fit Mosaic's 16 MB scoped VMEM."""
+    return min_vmem_bytes(b, h, ws) <= 16 * 2**20
+
+
 def best_block_i(inter: int, cap: int = 512) -> int:
     """Largest lane-aligned (×128) divisor of the intermediate dim ≤ cap
     (Qwen2.5-3B's 11008 = 86×128 → 256; 7B's 18944 = 148×128 → 512)."""
