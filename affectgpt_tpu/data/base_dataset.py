@@ -64,6 +64,12 @@ class DatasetConfig:
     # ..._face_frame_au_peak.yaml `mer_factory_output`; layout
     # {root}/{name}/{name}_au_analysis.json, video_processor.py:59-164)
     mer_factory_output: Optional[str] = None
+    # realtime AU text → CLIP ViT-B/32 feature encoding (no precomputed au
+    # cache needed; reference eval_configs/
+    # inference_frame_preextracted_au_realtime.yaml `use_au_clip_realtime`
+    # reads summary_description from the MER-Factory JSON and CLIP-encodes
+    # it per sample)
+    use_au_clip_realtime: bool = False
 
     @classmethod
     def from_cfg(cls, node) -> "DatasetConfig":
@@ -226,6 +232,26 @@ class BaseDataset:
 
                 img = np.asarray(Image.open(self._get_image_path(sample)).convert("RGB"))
                 out["raw"]["image"] = img[None]  # [1, H, W, 3]
+
+        # realtime AU: MER-Factory summary_description → CLIP text features.
+        # Mean-pooled host-side to a static [1, 512] row: the au merger's
+        # default `mean` fusion averages over time anyway, so pooling before
+        # upload is mathematically identical while keeping the collated batch
+        # shape static across samples with different frame counts (reference
+        # eval_configs/inference_frame_preextracted_au_realtime.yaml wires
+        # the same JSON → CLIP ViT-B/32 path per sample).
+        if (
+            self.cfg.use_au_clip_realtime
+            and self.cfg.mer_factory_output
+            and name
+            and "au" in self.cfg.face_or_frame.split("_")
+        ):
+            texts = media.load_au_summary_texts(self.cfg.mer_factory_output, name)
+            if texts:
+                from affectgpt_tpu.utils import clip_text
+
+                feats = clip_text.encode_texts(*clip_text.cached_text_tower(), texts)
+                out["features"]["au"] = feats.mean(axis=0, keepdims=True)
         return out
 
     # -- text assembly ---------------------------------------------------------------

@@ -431,3 +431,40 @@ def load_feature(path: str) -> Optional[np.ndarray]:
     if not os.path.exists(path):
         return None
     return np.load(path)
+
+
+def load_au_summary_texts(mer_factory_output: str, sample_name: str) -> list:
+    """Per-sample AU summary descriptions from the MER-Factory output tree
+    ({root}/{name}/{name}_au_analysis.json). Accepts every layout the
+    pipeline produces (reference
+    extract_multimodal_features_precompute.py:725-777: prefer
+    `summary_description` — a {frame_idx: text} dict sorted by int key, or
+    a single string — falling back to `fine_grained_descriptions`, plus the
+    per-frame `au_info.frames[].summary_description` list). Returns [] when
+    the JSON is absent or carries no descriptions."""
+    import json
+
+    json_path = os.path.join(
+        mer_factory_output, sample_name, f"{sample_name}_au_analysis.json"
+    )
+    try:
+        with open(json_path) as handle:
+            data = json.load(handle)
+    except (OSError, ValueError):
+        return []
+
+    for key in ("summary_description", "fine_grained_descriptions"):
+        node = data.get(key)
+        if isinstance(node, dict) and node:
+            try:
+                indices = sorted(node, key=int)
+            except (TypeError, ValueError):
+                indices = sorted(node)
+            return [str(node[i]) for i in indices if node[i]]
+        if isinstance(node, str) and node:
+            return [node]
+    texts = [
+        f.get("summary_description")
+        for f in data.get("au_info", {}).get("frames", [])
+    ]
+    return [t for t in texts if t]

@@ -112,6 +112,7 @@ class AffectGPTConfig:
             num_au_query_token=int(node.get("num_au_query_token", 8)),
             visual_dim=int(node.get("preextracted_visual_dim", 768)),
             acoustic_dim=int(node.get("preextracted_acoustic_dim", 1024)),
+            au_dim=int(node.get("preextracted_au_dim", 512)),
             visual_encoder_name=node.get(
                 "visual_encoder", node.get("visual_encoder_name", "CLIP_VIT_LARGE")
             ),

@@ -36,6 +36,19 @@ def load_text_tower():
     return params, cfg
 
 
+_CACHED_TOWER = None
+
+
+def cached_text_tower():
+    """Process-wide lazy singleton of load_text_tower() — the realtime AU
+    path (base_dataset.load_modalities) encodes one short text per sample
+    and must not re-init/convert the tower per call."""
+    global _CACHED_TOWER
+    if _CACHED_TOWER is None:
+        _CACHED_TOWER = load_text_tower()
+    return _CACHED_TOWER
+
+
 def byte_fallback_tokenize(texts, cfg) -> np.ndarray:
     """[N, context_length] int32 ids: raw bytes clipped into the vocab with
     an EOT sentinel — the deterministic stand-in used when no CLIP BPE

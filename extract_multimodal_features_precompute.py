@@ -165,20 +165,9 @@ class FeatureExtractor:
         out = self.cache_path("au", name)
         if os.path.exists(out):
             return True
-        json_path = os.path.join(mer_factory_output, name, f"{name}_au_analysis.json")
-        if not os.path.exists(json_path):
-            return False
-        with open(json_path) as handle:
-            data = json.load(handle)
-        descriptions = []
-        for frame_info in data.get("au_info", {}).get("frames", []):
-            desc = frame_info.get("summary_description")
-            if desc:
-                descriptions.append(desc)
-        if not descriptions:
-            desc = data.get("summary_description")
-            if desc:
-                descriptions = [desc]
+        from affectgpt_tpu.data import media
+
+        descriptions = media.load_au_summary_texts(mer_factory_output, name)
         if not descriptions:
             return False
 

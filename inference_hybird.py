@@ -335,9 +335,11 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
             pending = (
                 pool.submit(load_chunk, chunks[ci + 1]) if ci + 1 < len(chunks) else None
             )
-            # stack features (preextracted) or encode raw media on device
+            # stack features (preextracted) or encode raw media on device;
+            # "au" arrives as a feature from the realtime CLIP-text path
+            # (use_au_clip_realtime) or a precomputed cache — never raw
             stacked: dict = {}
-            for m in ("frame", "face", "audio"):
+            for m in ("frame", "face", "audio", "au"):
                 pre = [p["features"].get(m) for p in feats_per_name]
                 if all(f is not None for f in pre):
                     stacked[m] = jnp.asarray(np.stack(pre))

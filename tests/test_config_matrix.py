@@ -48,6 +48,10 @@ def matrix_env(tmp_path):
         d = mf_root / n
         d.mkdir(parents=True)
         (d / f"{n}_au_analysis.json").write_text(json.dumps({
+            "summary_description": {
+                "0": f"Brow lowerer and lip corner puller on {n}",
+                "1": f"Lips part with cheek raiser on {n}",
+            },
             "au_info": {
                 "total_frames": 40,
                 "peak_frames": [
@@ -64,13 +68,18 @@ def matrix_env(tmp_path):
 
 
 def test_matrix_is_shipped():
-    """>= 7 configs covering the reference's key permutations."""
+    """>= 9 configs covering the reference's key permutations plus the two
+    residual recipes (VERDICT r4 item 6)."""
     names = [os.path.basename(p) for p in CONFIGS]
-    assert len(names) >= 7
+    assert len(names) >= 9
     for needle in ("face_frame_au_Nonverbal", "face_au_Nonverbal",
                    "face_frame_au_peak", "face_frame_peak", "face_frame_au",
-                   "face_frame"):
+                   "face_frame", "emotionllama_affectgpt_UniBench",
+                   "recommended_train_with_preextracted_au"):
         assert any(needle in n for n in names), needle
+    assert os.path.exists(
+        "/root/repo/eval_configs/inference_frame_preextracted_au_realtime.yaml"
+    )
 
 
 @pytest.mark.parametrize("cfg_path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])
@@ -162,3 +171,66 @@ def test_emotion_peak_au_info_flows_to_sampler(matrix_env, monkeypatch):
         ByteTokenizer(), cfg2, ModelDataConfig()
     )
     assert ds2.get_au_info(NAMES[0]) is None
+
+
+def test_au_clip_realtime_path(matrix_env):
+    """use_au_clip_realtime (eval_configs/
+    inference_frame_preextracted_au_realtime.yaml twin): the MER-Factory
+    summary_description is CLIP-text-encoded into a [1, 512] au feature at
+    load time, and the knob gates the path."""
+    from affectgpt_tpu import registry
+    from affectgpt_tpu.data.base_dataset import DatasetConfig, ModelDataConfig
+    from affectgpt_tpu.data.datasets import get_dataset_class  # noqa: F401
+    from affectgpt_tpu.tokenization import ByteTokenizer
+
+    cfg = DatasetConfig(
+        face_or_frame="multiface_audio_face_frame_au_text",
+        use_preextracted_frame=True, use_preextracted_face=True,
+        use_preextracted_audio=True,
+        preextracted_root=matrix_env["feat_root"],
+        mer_factory_output=matrix_env["mer_factory_output"],
+        use_au_clip_realtime=True,
+    )
+    ds = registry.get("dataset", "MERCaptionPlus")(
+        ByteTokenizer(), cfg, ModelDataConfig()
+    )
+    payload = ds.load_modalities({"name": NAMES[0]})
+    au = payload["features"].get("au")
+    assert au is not None and au.shape == (1, 512) and np.isfinite(au).all()
+
+    # knob off → no au feature
+    import dataclasses
+
+    cfg_off = dataclasses.replace(cfg, use_au_clip_realtime=False)
+    ds_off = registry.get("dataset", "MERCaptionPlus")(
+        ByteTokenizer(), cfg_off, ModelDataConfig()
+    )
+    assert "au" not in ds_off.load_modalities({"name": NAMES[0]})["features"]
+
+    # a mode without the au clause never touches the MER-Factory tree
+    cfg_mode = dataclasses.replace(
+        cfg, face_or_frame="multiface_audio_face_frame_text"
+    )
+    ds_mode = registry.get("dataset", "MERCaptionPlus")(
+        ByteTokenizer(), cfg_mode, ModelDataConfig()
+    )
+    assert "au" not in ds_mode.load_modalities({"name": NAMES[0]})["features"]
+
+
+def test_au_realtime_eval_config_parses():
+    """The shipped AU-realtime eval config resolves to a DatasetConfig with
+    the hybrid mode's exact switch positions."""
+    import yaml as _yaml
+
+    from affectgpt_tpu.data.base_dataset import DatasetConfig
+
+    raw = _yaml.safe_load(
+        open("/root/repo/eval_configs/inference_frame_preextracted_au_realtime.yaml")
+    )
+    node = raw["datasets"]["mer2023"]
+    cfg = DatasetConfig.from_cfg(node)
+    assert cfg.use_preextracted_frame and not cfg.use_preextracted_face
+    assert not cfg.use_preextracted_audio
+    assert cfg.frame_sampling == "emotion_peak"
+    assert cfg.use_au_clip_realtime and cfg.mer_factory_output
+    assert cfg.face_or_frame == "multiface_audio_face_frame_au_text"
