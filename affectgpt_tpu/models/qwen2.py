@@ -22,6 +22,7 @@ q/k/v have biases, o does not; gate/up/down are bias-free; RMSNorm.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -335,6 +336,63 @@ def init_quantized_params(
     return params
 
 
+def _lora_drop_fwd(rate, x, a, b, key):
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    xl = jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype), jnp.zeros((), x.dtype))
+    z = jnp.dot(xl, a.astype(x.dtype), preferred_element_type=jnp.float32)
+    return jnp.dot(z.astype(x.dtype), b.astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _lora_drop_branch(rate, x, a, b, key):
+    """B(A(dropout(x))) with a custom VJP that REGENERATES the dropout mask
+    from `key` in the backward pass instead of letting autodiff carry the
+    mask + dropped-copy + A-activation residuals from the (rematted)
+    forward recompute to the backward sweep. Residuals are just
+    (x, a, b, key) — all already live — so the only extra backward work is
+    one rbg mask regeneration + the two small recomputed intermediates.
+    Forward math is bit-identical to the plain path (same ops, same key);
+    gradients match autodiff up to dot-reassociation rounding
+    (tests/test_lora_dropout.py pins both). Opt-in via
+    AFFECTGPT_DROPOUT_VJP=1 (A/B'd on TPU at 3B b8, see CLAUDE.md)."""
+    return _lora_drop_fwd(rate, x, a, b, key)
+
+
+def _lora_drop_branch_fwd(rate, x, a, b, key):
+    return _lora_drop_fwd(rate, x, a, b, key), (x, a, b, key)
+
+
+def _lora_drop_branch_bwd(rate, res, g):
+    import numpy as _np
+    from jax.dtypes import float0 as _float0
+
+    x, a, b, key = res
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    inv = jnp.asarray(1.0 - rate, x.dtype)
+    xl = jnp.where(keep, x / inv, jnp.zeros((), x.dtype))
+    ax, bx = a.astype(x.dtype), b.astype(x.dtype)
+    z1 = jnp.dot(xl, ax, preferred_element_type=jnp.float32).astype(x.dtype)
+    gx = g.astype(x.dtype)
+    db = jnp.einsum("...r,...o->ro", z1, gx,
+                    preferred_element_type=jnp.float32).astype(b.dtype)
+    g1 = jnp.dot(gx, bx.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    da = jnp.einsum("...i,...r->ir", xl, g1,
+                    preferred_element_type=jnp.float32).astype(a.dtype)
+    dxl = jnp.dot(g1, ax.T, preferred_element_type=jnp.float32).astype(x.dtype)
+    dx = jnp.where(keep, dxl / inv, jnp.zeros((), x.dtype))
+    return dx, da, db, _np.zeros(key.shape, dtype=_float0)
+
+
+_lora_drop_branch.defvjp(_lora_drop_branch_fwd, _lora_drop_branch_bwd)
+
+
+def _dropout_vjp_on() -> bool:
+    import os as _os
+
+    return _os.environ.get("AFFECTGPT_DROPOUT_VJP", "0") == "1"
+
+
 def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True, drop=None):
     """drop: optional (key, rate) — inverted dropout on the LoRA-branch
     input only (the frozen base matmul is never dropped), exactly peft's
@@ -390,11 +448,14 @@ def _lora_dense(base, lora, x, scaling: float, has_bias: bool = True, drop=None)
     else:
         y = jnp.dot(x, base["w"], preferred_element_type=jnp.float32)
     if lora is not None:
-        xl = x
-        if drop is not None:
-            xl = nn.dropout(drop[0], drop[1], x)
-        z = jnp.dot(xl, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
-        z = jnp.dot(z.astype(x.dtype), lora["b"].astype(x.dtype), preferred_element_type=jnp.float32)
+        if drop is not None and _dropout_vjp_on():
+            z = _lora_drop_branch(drop[1], x, lora["a"], lora["b"], drop[0])
+        else:
+            xl = x
+            if drop is not None:
+                xl = nn.dropout(drop[0], drop[1], x)
+            z = jnp.dot(xl, lora["a"].astype(x.dtype), preferred_element_type=jnp.float32)
+            z = jnp.dot(z.astype(x.dtype), lora["b"].astype(x.dtype), preferred_element_type=jnp.float32)
         y = y + scaling * z
     if has_bias and "b" in base:
         y = y + base["b"].astype(jnp.float32)

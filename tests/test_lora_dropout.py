@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from affectgpt_tpu.models import affectgpt, qwen2
 from affectgpt_tpu.training import train_step as ts
@@ -237,3 +238,60 @@ class TestQFormerDropout:
         l_drop = float(affectgpt.forward_loss(
             frozen, trainable, cfg, batch, dropout_rng=jax.random.PRNGKey(4)))
         assert l_drop != l_eval
+
+
+class TestDropoutCustomVJP:
+    """AFFECTGPT_DROPOUT_VJP=1 (qwen2._lora_drop_branch): the custom VJP
+    regenerates dropout masks from the key in backward instead of carrying
+    mask/dropped-copy/A-activation residuals through remat. Forward must be
+    bit-identical to the plain path (same ops, same key); gradients must
+    match autodiff for EVERY trainable leaf."""
+
+    def _loss_and_grads(self, remat, dropout_rng):
+        def loss_fn(trainable):
+            return affectgpt.forward_loss(
+                FROZEN, trainable, CFG, _batch(), remat=remat,
+                dropout_rng=dropout_rng,
+            )
+
+        return jax.value_and_grad(loss_fn)(TRAINABLE)
+
+    @pytest.mark.parametrize("remat", [False, True])
+    @pytest.mark.parametrize("impl", ["threefry2x32", "rbg"])
+    def test_forward_and_grad_parity(self, monkeypatch, remat, impl):
+        rng = jax.random.key(11, impl=impl)
+        monkeypatch.setenv("AFFECTGPT_DROPOUT_VJP", "0")
+        l_ref, g_ref = self._loss_and_grads(remat, rng)
+        monkeypatch.setenv("AFFECTGPT_DROPOUT_VJP", "1")
+        l_vjp, g_vjp = self._loss_and_grads(remat, rng)
+        np.testing.assert_array_equal(np.asarray(l_ref), np.asarray(l_vjp))
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_vjp = jax.tree.leaves(g_vjp)
+        assert len(flat_ref) == len(flat_vjp)
+        for (path, ref), vjp in zip(flat_ref, flat_vjp):
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(vjp), rtol=1e-5, atol=1e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_vjp_path_actually_dispatches(self, monkeypatch):
+        """The knob must flip the traced graph: count _lora_drop_branch
+        calls via a spy."""
+        calls = []
+        orig = qwen2._lora_drop_branch
+
+        monkeypatch.setenv("AFFECTGPT_DROPOUT_VJP", "1")
+        monkeypatch.setattr(
+            qwen2, "_lora_drop_branch",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+        )
+        affectgpt.forward_loss(
+            FROZEN, TRAINABLE, CFG, _batch(), dropout_rng=jax.random.PRNGKey(5)
+        )
+        assert calls  # dispatched through the custom branch
+        calls.clear()
+        monkeypatch.setenv("AFFECTGPT_DROPOUT_VJP", "0")
+        affectgpt.forward_loss(
+            FROZEN, TRAINABLE, CFG, _batch(), dropout_rng=jax.random.PRNGKey(5)
+        )
+        assert not calls
