@@ -129,6 +129,77 @@ def test_dp_tp_sharded_generate_matches_replicated(eight_devices):
     np.testing.assert_array_equal(np.asarray(ref_valid), np.asarray(dp_valid))
 
 
+def test_dp_sharded_realtime_encode_matches_replicated(eight_devices):
+    """The REALTIME encode path — uint8 frames/faces → CLIP ViT, waveforms
+    → HuBERT → mergers → splice → greedy decode — under a dp×tp mesh must
+    reproduce the unsharded features and tokens (encoders replicate, batch
+    shards over dp; GSPMD splits the towers batch-parallel). This is the
+    one mode whose one-chip ceiling requires multi-chip (reference realtime
+    encode path: my_affectgpt/models/encoder.py:197-208,418-432)."""
+    from affectgpt_tpu.inference import chat as chat_mod
+    from affectgpt_tpu.models import clip_vit, hubert
+
+    cfg = affectgpt.AffectGPTConfig.tiny()
+    vision_cfg = clip_vit.ClipVisionConfig.tiny()  # projection_dim == visual_dim
+    audio_cfg = hubert.HubertConfig.tiny()  # hidden_size == acoustic_dim
+    frozen = dict(affectgpt.init_frozen(jax.random.PRNGKey(0), cfg, dtype=jnp.float32))
+    frozen["visual_encoder"] = clip_vit.init_vision_params(
+        jax.random.PRNGKey(4), vision_cfg, dtype=jnp.float32
+    )
+    frozen["acoustic_encoder"] = hubert.init_params(
+        jax.random.PRNGKey(5), audio_cfg, dtype=jnp.float32
+    )
+    trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), cfg)
+
+    b, t = 8, 24
+    rng = np.random.RandomState(7)
+    raw = {
+        "frame": jnp.asarray(rng.randint(0, 255, (b, 2, 28, 28, 3)), jnp.uint8),
+        "face": jnp.asarray(rng.randint(0, 255, (b, 2, 28, 28, 3)), jnp.uint8),
+        "audio": jnp.asarray(rng.randn(b, 2, 1, 800), jnp.float32),
+    }
+    ids = rng.randint(1, 250, (b, t)).astype(np.int32)
+    offsets_host = {"multi": 2, "audio": 5, "face": 9, "frame": 13}
+    q = {"multi": cfg.num_multi_query_token, "audio": cfg.num_audio_query_token,
+         "face": cfg.num_video_query_token, "frame": cfg.num_video_query_token}
+    for m, off in offsets_host.items():
+        ids[:, off : off + q[m]] = 0
+    ids = jnp.asarray(ids)
+    offsets = {m: jnp.full((b,), off, jnp.int32) for m, off in offsets_host.items()}
+    lengths = jnp.full((b,), t, jnp.int32)
+    gcfg = gen.GenerateConfig(max_new_tokens=5, do_sample=False, eos_token_id=257)
+
+    @jax.jit
+    def run(frozen, trainable, raw, ids, lengths):
+        feats = chat_mod.encode_media_features(
+            frozen, cfg, raw, vision_cfg=vision_cfg, audio_cfg=audio_cfg
+        )
+        embeds = affectgpt.build_inputs_embeds(frozen, trainable, cfg, ids, feats, offsets)
+        toks, _ = gen.generate(
+            frozen["llm"], cfg.llm, gcfg, embeds, lengths, jax.random.PRNGKey(3),
+            max_len=48, lora=trainable["lora"],
+        )
+        return feats, toks
+
+    ref_feats, ref_toks = run(frozen, trainable, raw, ids, lengths)
+
+    mesh = mesh_lib.create_mesh(eight_devices, tp=2)  # dp=4 × tp=2
+    frozen_sh = mesh_lib.shard_params(mesh, frozen)
+    trainable_sh = mesh_lib.shard_params(mesh, trainable)
+    raw_dp = jax.device_put(raw, mesh_lib.batch_shardings(mesh, raw))
+    ids_dp = jax.device_put(ids, mesh_lib.batch_sharding(mesh))
+    len_dp = jax.device_put(lengths, mesh_lib.batch_sharding(mesh))
+    dp_feats, dp_toks = run(frozen_sh, trainable_sh, raw_dp, ids_dp, len_dp)
+
+    assert set(dp_feats) == {"frame", "face", "audio"}
+    for m in ref_feats:
+        np.testing.assert_allclose(
+            np.asarray(ref_feats[m]), np.asarray(dp_feats[m]), rtol=1e-5, atol=1e-5,
+            err_msg=f"dp-sharded {m} encoder diverged",
+        )
+    np.testing.assert_array_equal(np.asarray(ref_toks), np.asarray(dp_toks))
+
+
 def test_mesh_engines_disable_fused_decode_kernels(eight_devices, monkeypatch):
     """A mesh-sharded engine must flip qwen2.TP_SERVING: the fused decode
     Pallas kernels carry no GSPMD partitioning rule, so under a sharded jit
