@@ -12,7 +12,7 @@ the decode step with in-graph sampling) so the host↔relay round trips —
 token upload, dispatch, argmax, token fetch, 98 ms/token when paid per
 step — amortize over PAGED_BURST tokens.
 
-Run: python scripts/bench_paged.py
+Run: python scripts/bench_paged.py [--repeats N]
 Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
      PAGED_DENSE_BATCH (256), PAGED_BURST (8), PAGED_BLOCK (16),
      PAGED_GEOMETRY=7b + PAGED_BITS (8) for the int8 flagship geometry
@@ -20,6 +20,11 @@ Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
      PAGED_KV=int8 for quantized pools (2× tokens-in-flight per HBM byte),
      PAGED_PREFILL_BATCH (256) — cap requests per admission; set 128 for
      the 7B s384 capacity configs (bounds prefill HBM temps, see CLAUDE.md).
+     PAGED_REPEATS / --repeats N (1): run the paged streaming phase N
+     times and report median ± spread — the harness has a measured ±6%
+     run-to-run variance (CLAUDE.md), so any paged A/B under that MUST
+     use repeats ≥ 3 to be decidable; the detail fields come from the
+     median-throughput run.
 """
 
 from __future__ import annotations
@@ -131,36 +136,42 @@ def main():
     )
     feats_np = {m: np.asarray(v) for m, v in feats.items()}
     ids_np = np.asarray(input_ids)
-    # warm the compiled programs (full-bucket prefill + decode step)
-    for i in range(SLOTS):
-        server.submit(Request(
-            request_id=10_000 + i, input_ids=ids_np[i % DENSE_BATCH],
-            features={m: v[i % DENSE_BATCH] for m, v in feats_np.items()},
-            offsets={m: int(np.asarray(o)[i % DENSE_BATCH]) for m, o in offsets.items()},
-            max_new_tokens=NEW,
-        ))
-    server.run_until_drained()
-    server.results.clear()
-    server.stats = {k: 0 for k in server.stats}
-    server.clock.__init__()  # warmup requests out of the SLA trace
 
-    for i in range(REQUESTS):
-        server.submit(Request(
-            request_id=i, input_ids=ids_np[i % DENSE_BATCH],
-            features={m: v[i % DENSE_BATCH] for m, v in feats_np.items()},
-            offsets={m: int(np.asarray(o)[i % DENSE_BATCH]) for m, o in offsets.items()},
-            max_new_tokens=NEW,
-        ))
-    t0 = time.perf_counter()
-    server.run_until_drained()
-    paged_dt = time.perf_counter() - t0
-    paged_cps = REQUESTS / paged_dt
-    stats = server.stats
+    def stream_requests(base_rid: int, count: int):
+        """Submit `count` requests, drain, return (cps, stats, sla, dt)."""
+        server.results.clear()
+        server.stats = {k: 0 for k in server.stats}
+        server.clock.__init__()
+        for i in range(count):
+            server.submit(Request(
+                request_id=base_rid + i, input_ids=ids_np[i % DENSE_BATCH],
+                features={m: v[i % DENSE_BATCH] for m, v in feats_np.items()},
+                offsets={m: int(np.asarray(o)[i % DENSE_BATCH]) for m, o in offsets.items()},
+                max_new_tokens=NEW,
+            ))
+        t0 = time.perf_counter()
+        server.run_until_drained()
+        dt = time.perf_counter() - t0
+        return count / dt, dict(server.stats), server.clock.summary(), dt
+
+    # warm the compiled programs (full-bucket prefill + decode step)
+    stream_requests(10_000, SLOTS)
+
+    repeats = int(os.environ.get("PAGED_REPEATS", 1))
+    if "--repeats" in sys.argv:
+        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
+    runs = [stream_requests(r * REQUESTS, REQUESTS) for r in range(max(repeats, 1))]
+    runs.sort(key=lambda r: r[0])
+    paged_cps, stats, sla, paged_dt = runs[len(runs) // 2]  # median run
+    cps_list = [round(r[0], 1) for r in runs]
     occupancy = stats["decode_slot_tokens"] / max(stats["decode_steps"] * SLOTS, 1)
     print(json.dumps({
         "metric": f"paged vs dense clips/s ({geom.upper()}, {REQUESTS} reqs, slots {SLOTS}, {NEW} new)",
         "value": round(paged_cps, 1),
         "unit": "clips/s",
+        "repeats": len(runs),
+        "runs_clips_per_s": cps_list,  # sorted; value = median
+        "spread_pct": round(100 * (cps_list[-1] - cps_list[0]) / max(paged_cps, 1e-9), 1),
         "dense_clips_per_s": round(dense_cps, 1),
         "paged_over_dense": round(paged_cps / dense_cps, 3),
         "decode_steps": stats["decode_steps"],
@@ -172,9 +183,10 @@ def main():
         "t_decode_s": round(stats["t_decode"], 2),
         "t_host_s": round(paged_dt - stats["t_prefill"] - stats["t_decode"], 2),
     }), flush=True)
-    # request-level SLA distribution (TTFT includes queueing behind the
-    # earlier admissions — the continuous-batching trade the engine makes)
-    print(json.dumps({"sla": server.clock.summary()}), flush=True)
+    # request-level SLA distribution of the median run (TTFT includes
+    # queueing behind the earlier admissions — the continuous-batching
+    # trade the engine makes)
+    print(json.dumps({"sla": sla}), flush=True)
 
 
 if __name__ == "__main__":
