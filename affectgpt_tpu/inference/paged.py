@@ -413,7 +413,8 @@ class PagedBatchServer:
                  max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
                  prefill_bucket: int = 64, mesh=None, decode_burst: int = 8,
-                 admission: str = "reserve", prefill_batch: int = 256):
+                 admission: str = "reserve", prefill_batch: int = 256,
+                 prefill_chunk_tokens: Optional[int] = None):
         from affectgpt_tpu.models import affectgpt as _affectgpt
 
         if mesh is not None:
@@ -474,6 +475,16 @@ class PagedBatchServer:
         # cap 128 vs 104.7 at 256), so the default stays 256 and capacity
         # configs pass prefill_batch=128 (bench: PAGED_PREFILL_BATCH).
         self.prefill_batch = max(1, prefill_batch)
+        # chunked prefill (scheduler-granularity): bound each admission's
+        # prefill forward to ≤ chunk TOKENS (sum of admitted prompt
+        # lengths), so an in-flight decode stalls at most one
+        # chunk-sized prefill between bursts and early requests get their
+        # first token without queueing behind a slot-wide admission —
+        # the vLLM chunked-prefill trade at admission granularity (the
+        # engine's step loop already interleaves admit → decode-burst;
+        # this bounds the admit side's exclusive-phase length). None = off:
+        # admissions are bounded by prefill_batch/slots/pool only.
+        self.prefill_chunk_tokens = prefill_chunk_tokens
         # decode-burst length: tokens decoded per compiled device program
         # (power-of-two-bucketed at run time so the compile count stays
         # O(log burst)). 1 restores per-token host stepping.
@@ -526,12 +537,15 @@ class PagedBatchServer:
         # free slots, (b) fits the block pool, and (c) shares one modality
         # signature so the whole admission prefills as ONE batched forward
         signature = tuple(sorted(self.pending[0].features))
-        batch, blocks_needed = [], 0
+        batch, blocks_needed, tokens_planned = [], 0, 0
         for req in self.pending:
             if len(batch) >= min(len(free), self.prefill_batch):
                 break
             if tuple(sorted(req.features)) != signature:
                 break
+            if (self.prefill_chunk_tokens is not None and batch
+                    and tokens_planned + len(req.input_ids) > self.prefill_chunk_tokens):
+                break  # chunk budget reached — rest admits after the next burst
             # "reserve": full-lifetime footprint (prompt + every decode
             # token the request may emit, capped by the table size) so the
             # pool can never run dry mid-decode. "optimistic": prompt
@@ -546,6 +560,7 @@ class PagedBatchServer:
             if blocks_needed + need > self.alloc.available():
                 break
             blocks_needed += need
+            tokens_planned += len(req.input_ids)
             batch.append(req)
         if not batch:
             return

@@ -108,3 +108,41 @@ def preprocess_frames_eval(frames_u8: jnp.ndarray, out_size: int = 224) -> jnp.n
     out = resize(frames_u8.astype(jnp.float32), (out_size, out_size))
     out = normalize_clip(out)
     return jnp.transpose(out, (3, 0, 1, 2))
+
+
+def yuv420_to_rgb(planar: jnp.ndarray) -> jnp.ndarray:
+    """Planar I420 (cv2 COLOR_RGB2YUV_I420 layout) → uint8 RGB on device.
+
+    `planar` is [..., H·3/2, W] uint8: a full-res Y plane followed by the
+    2×2-subsampled U then V planes (each H/2 × W/2, stored as H/4 rows of
+    width W). This is the ingest pipeline's WIRE FORMAT: 1.5 bytes/px
+    halves host→device transfer vs RGB — on a tunneled TPU (~44 MB/s
+    relay, CLAUDE.md) the upload is the realtime-pipeline wall, and on
+    locally-attached hardware it halves PCIe traffic the same way.
+
+    Chroma is upsampled nearest-neighbour (the 2×2 block's single chroma
+    sample replicated); conversion is the BT.601 studio-swing matrix
+    cv2's I420 routines use (Y−16 scaled by 255/219 — probed empirically:
+    dR/dY=1.175, dR/dV=1.60, dB/dU=2.02). Differences vs
+    cv2.cvtColor(COLOR_YUV2RGB_I420) are fixed-point rounding and its
+    chroma filtering at block edges (tests pin ±3 on smooth content)."""
+    *lead, h15, w = planar.shape
+    h = (h15 * 2) // 3
+    assert h % 2 == 0 and w % 2 == 0 and h15 == h * 3 // 2, planar.shape
+    planar = planar.reshape(-1, h15, w)
+    y = planar[:, :h, :].astype(jnp.float32)
+    chroma = planar[:, h:, :].reshape(-1, 2, h // 2, w // 2).astype(jnp.float32)
+    u, v = chroma[:, 0], chroma[:, 1]
+
+    def up2(p):  # [n, h/2, w/2] → [n, h, w] nearest
+        return jnp.repeat(jnp.repeat(p, 2, axis=1), 2, axis=2)
+
+    u = up2(u) - 128.0
+    v = up2(v) - 128.0
+    y = 1.164384 * (y - 16.0)  # studio swing: Y 16-235 → 0-255
+    r = y + 1.596027 * v
+    g = y - 0.391762 * u - 0.812968 * v
+    b = y + 2.017232 * u
+    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+    return rgb.reshape(*lead, h, w, 3)

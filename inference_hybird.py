@@ -82,6 +82,10 @@ def parse_args():
     parser.add_argument("--paged_slots", type=int, default=16,
                         help="concurrent sequences in the continuous-batching "
                              "engine (decode batch is padded to this)")
+    parser.add_argument("--paged_prefill_chunk", type=int, default=0,
+                        help="chunked prefill: cap each admission at N prompt "
+                             "tokens so in-flight decodes stall at most one "
+                             "chunk between bursts (0 = off)")
     parser.add_argument("--paged_admission", choices=["reserve", "optimistic"],
                         default="reserve",
                         help="reserve: admission claims a request's full-"
@@ -271,6 +275,7 @@ def make_paged_server(args, chat, max_prompt_tokens: int):
         dtype=pool_dtype,
         do_sample=not args.greedy, top_p=0.9, seed=0, mesh=chat.mesh,
         admission=args.paged_admission,
+        prefill_chunk_tokens=args.paged_prefill_chunk or None,
     )
 
 

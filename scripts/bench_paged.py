@@ -20,6 +20,9 @@ Env: PAGED_REQUESTS (256), PAGED_SLOTS (64), PAGED_NEW (32),
      PAGED_KV=int8 for quantized pools (2× tokens-in-flight per HBM byte),
      PAGED_PREFILL_BATCH (256) — cap requests per admission; set 128 for
      the 7B s384 capacity configs (bounds prefill HBM temps, see CLAUDE.md).
+     PAGED_PREFILL_CHUNK (0=off) — chunked prefill: cap each admission at
+     N prompt TOKENS so decodes stall at most one chunk between bursts
+     (TTFT lever; A/B with the sla line).
      PAGED_REPEATS / --repeats N (1): run the paged streaming phase N
      times and report median ± spread — the harness has a measured ±6%
      run-to-run variance (CLAUDE.md), so any paged A/B under that MUST
@@ -133,6 +136,13 @@ def main():
         dtype=pool_dtype, do_sample=False,
         decode_burst=BURST,
         prefill_batch=int(os.environ.get("PAGED_PREFILL_BATCH", 256)),
+        # chunked prefill: bound each admission to ≤ N prompt tokens so
+        # in-flight decodes stall at most one chunk between bursts
+        # (0 = off, the default)
+        prefill_chunk_tokens=(
+            int(os.environ["PAGED_PREFILL_CHUNK"])
+            if int(os.environ.get("PAGED_PREFILL_CHUNK", 0)) else None
+        ),
     )
     feats_np = {m: np.asarray(v) for m, v in feats.items()}
     ids_np = np.asarray(input_ids)

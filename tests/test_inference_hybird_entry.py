@@ -75,7 +75,8 @@ def test_inference_hybird_main(corpus, tmp_path, monkeypatch):
         sys, "argv",
         ["inference_hybird.py", "--cfg-path", str(cfg_path), "--dataset", "MER2023",
          "--batch_size", "2", "--max_new_tokens", "4", "--paged",
-         "--paged_block_size", "8", "--paged_num_blocks", "512"],
+         "--paged_block_size", "8", "--paged_num_blocks", "512",
+         "--paged_prefill_chunk", "8"],  # chunked prefill through the CLI
     )
     out.unlink()
     entry.main()

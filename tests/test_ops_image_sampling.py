@@ -3,7 +3,9 @@
 import random
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from affectgpt_tpu import constants
 from affectgpt_tpu.ops import image as image_ops
@@ -125,3 +127,43 @@ class TestRandAugment:
         out = np.asarray(rand_augment(jax.random.PRNGKey(3), frames))
         for t in range(1, 4):
             np.testing.assert_allclose(out[0], out[t], atol=1e-4)
+
+
+class TestYuv420ToRgb:
+    """yuv420_to_rgb — the ingest pipeline's 1.5 B/px wire format
+    (halves host→device transfer vs RGB; see ops/image.py)."""
+
+    def test_roundtrip_vs_cv2(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.RandomState(0)
+        # smooth content: chroma-filter differences at hard edges are the
+        # known nearest-vs-bilinear gap, not a conversion bug
+        base = rng.randint(30, 220, (2, 1, 16, 16, 3)).astype(np.uint8)
+        rgb = np.repeat(np.repeat(base, 4, axis=2), 4, axis=3)  # [2,1,64,64,3]
+        planar = np.stack([
+            cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420)
+            for f in rgb.reshape(-1, 64, 64, 3)
+        ]).reshape(2, 1, 96, 64)
+        out = np.asarray(image_ops.yuv420_to_rgb(jnp.asarray(planar)))
+        assert out.shape == rgb.shape and out.dtype == np.uint8
+        back = np.stack([
+            cv2.cvtColor(p, cv2.COLOR_YUV2RGB_I420)
+            for p in planar.reshape(-1, 96, 64)
+        ]).reshape(rgb.shape)
+        np.testing.assert_allclose(
+            out.astype(np.int16), back.astype(np.int16), atol=3
+        )
+
+    def test_luma_gradient_grays(self):
+        # U=V=128 → all three channels equal (grays), studio-swing scaled
+        y = np.tile(np.arange(16, 240, 16, dtype=np.uint8)[:, None], (1, 8))
+        y = np.repeat(y[None], 2, axis=0)[:, :14]  # [2, 14, 8]
+        h, w = 14, 8
+        planar = np.concatenate(
+            [y, np.full((2, h // 2, w), 128, np.uint8)], axis=1
+        )
+        out = np.asarray(image_ops.yuv420_to_rgb(jnp.asarray(planar)))
+        np.testing.assert_array_equal(out[..., 0], out[..., 1])
+        np.testing.assert_array_equal(out[..., 1], out[..., 2])
+        expected = np.clip(np.round(1.164384 * (y.astype(np.float64) - 16)), 0, 255)
+        np.testing.assert_allclose(out[..., 0].astype(np.int16), expected, atol=1)

@@ -559,3 +559,53 @@ class TestGatherWidthBucketing:
         # the sliced width must actually have been narrower than max_blocks
         steps = b_stats["decode_steps"]
         assert b_stats["gather_width_tokens"] < steps * pcfg.max_seq_len
+
+
+class TestChunkedPrefill:
+    """prefill_chunk_tokens bounds each admission's prefill forward by
+    total prompt tokens (scheduler-granularity chunked prefill). Greedy
+    per-request outputs are independent of admission slicing — chunked
+    and unchunked engines must produce identical results; the chunked
+    engine must actually split the admissions."""
+
+    def test_chunked_matches_unchunked(self):
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        tok = ByteTokenizer()
+        pcfg = paged.PagedConfig(block_size=8, num_blocks=96, max_blocks_per_seq=8)
+
+        results, admissions = {}, {}
+        for name, chunk in [("full", None), ("chunked", 20)]:
+            server = PagedBatchServer(
+                frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=6,
+                prefill_chunk_tokens=chunk)
+            for rid, length in [(0, 9), (1, 14), (2, 11), (3, 7), (4, 13)]:
+                server.submit(_make_affectgpt_req(acfg, rid, length))
+            results[name] = server.run_until_drained()
+            admissions[name] = server.stats["admissions"]
+        assert results["chunked"] == results["full"]
+        assert admissions["chunked"] > admissions["full"]
+
+    def test_chunk_never_starves_a_single_request(self):
+        """A prompt longer than the chunk budget must still admit (alone)."""
+        from affectgpt_tpu.inference.paged import PagedBatchServer
+        from affectgpt_tpu.models import affectgpt
+        from affectgpt_tpu.tokenization import ByteTokenizer
+
+        acfg = affectgpt.AffectGPTConfig.tiny()
+        frozen = affectgpt.init_frozen(jax.random.PRNGKey(0), acfg, dtype=jnp.float32)
+        trainable = affectgpt.init_trainable(jax.random.PRNGKey(1), acfg)
+        pcfg = paged.PagedConfig(block_size=8, num_blocks=96, max_blocks_per_seq=8)
+        server = PagedBatchServer(
+            frozen, trainable, acfg, ByteTokenizer(), pcfg=pcfg, max_slots=4,
+            prefill_chunk_tokens=4)  # smaller than every prompt
+        for rid, length in [(0, 9), (1, 14)]:
+            server.submit(_make_affectgpt_req(acfg, rid, length))
+        out = server.run_until_drained()
+        assert set(out) == {0, 1}
+        assert server.stats["admissions"] == 2  # one request per admission
