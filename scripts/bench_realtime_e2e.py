@@ -157,12 +157,22 @@ def _write_wav16(path: str, samples: np.ndarray, rate: int) -> None:
 
 
 def _to_wire_video(rgb_frames: np.ndarray) -> np.ndarray:
-    """[T, H, W, 3] uint8 RGB → wire format ([T, H*3/2, W] I420 or RGB)."""
+    """[T, H, W, 3] uint8 RGB → wire format ([T, H*3/2, W] I420 or RGB).
+
+    The I420 conversion runs as ONE cvtColor over the [T·H, W, 3] tall
+    image: H is even, so 2×2 chroma blocks never cross frame boundaries
+    and the tall planes reshape exactly to per-frame planes (profiled
+    ~25% cheaper than T separate calls on the 1-core host)."""
     if RGB_WIRE:
         return rgb_frames
     import cv2
 
-    return np.stack([cv2.cvtColor(f, cv2.COLOR_RGB2YUV_I420) for f in rgb_frames])
+    t, h, w, _ = rgb_frames.shape
+    tall = cv2.cvtColor(np.ascontiguousarray(rgb_frames.reshape(t * h, w, 3)),
+                        cv2.COLOR_RGB2YUV_I420)  # [(t·h)·3/2, w]
+    y = tall[: t * h].reshape(t, h, w)
+    chroma = tall[t * h :].reshape(2, t, h // 4, w)  # U then V, per frame
+    return np.concatenate([y, chroma[0], chroma[1]], axis=1)  # [t, h·3/2, w]
 
 
 def decode_clip(entry: dict) -> dict:
@@ -304,6 +314,15 @@ def main():
     t_device = time.perf_counter() - t0
 
     # --- measured stream: decode → upload → compute, double-buffered ---
+    # upload(k) → dispatch(k) → fence(k-1) on the MAIN thread is the
+    # measured-best schedule on the tunneled backend (21.7-23.7 clips/s
+    # clean; device 3.12 s/batch): device_put is async (≤0.9 s/batch of
+    # thread time for the 85 MB), so upload(k) rides under the fence(k-1)
+    # wait. A look-ahead uploader THREAD measured no better (13.4 at
+    # queue depth 2 / 14.9 at depth 1 vs 15.3 mainline, all under equal
+    # host CPU contention): the relay is a single ordered stream, so
+    # uploads submitted ahead of turn queue bulk bytes in front of the
+    # small token fetches the fences need.
     n_batches = len(clips) // BATCH
     n_stream = n_batches * BATCH
     workers = DecodeWorkers(clips[:n_stream], WORKERS)
