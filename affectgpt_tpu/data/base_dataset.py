@@ -79,12 +79,15 @@ class DatasetConfig:
 
 @dataclass
 class ModelDataConfig:
-    """The model-side knobs the data layer needs (query token counts)."""
+    """The model-side knobs the data layer needs (query token counts +
+    the au merger's fusion type, which decides whether realtime AU CLIP
+    features may be mean-pooled host-side)."""
 
     num_video_query_token: int = 8
     num_audio_query_token: int = 8
     num_multi_query_token: int = 1
     num_image_query_token: int = 8
+    au_fusion_type: str = "mean"
 
 
 class BaseDataset:
@@ -233,13 +236,19 @@ class BaseDataset:
                 img = np.asarray(Image.open(self._get_image_path(sample)).convert("RGB"))
                 out["raw"]["image"] = img[None]  # [1, H, W, 3]
 
-        # realtime AU: MER-Factory summary_description → CLIP text features.
-        # Mean-pooled host-side to a static [1, 512] row: the au merger's
-        # default `mean` fusion averages over time anyway, so pooling before
-        # upload is mathematically identical while keeping the collated batch
-        # shape static across samples with different frame counts (reference
-        # eval_configs/inference_frame_preextracted_au_realtime.yaml wires
-        # the same JSON → CLIP ViT-B/32 path per sample).
+        # realtime AU: MER-Factory summary_description → CLIP text features
+        # (reference eval_configs/inference_frame_preextracted_au_realtime.yaml
+        # `use_au_clip_realtime` names this JSON → CLIP ViT-B/32 path; note
+        # AU features are a VESTIGIAL channel in the reference — its forward
+        # splice list has no AU patch token (affectgpt.py:969-1009) and its
+        # shipped inference driver passes AU as Nonverbal TEXT only
+        # (inference_hybird.py:304) — so these features feed the au-merger
+        # pipeline and precompute caches, never the LLM input).
+        #
+        # Host-side mean-pooling to a static [1, 512] row is exact only for
+        # the default `mean` au fusion; attention/qformer mergers weight
+        # timesteps, so those keep the full [N, 512] sequence (same layout
+        # the precomputed au cache stores).
         if (
             self.cfg.use_au_clip_realtime
             and self.cfg.mer_factory_output
@@ -251,7 +260,9 @@ class BaseDataset:
                 from affectgpt_tpu.utils import clip_text
 
                 feats = clip_text.encode_texts(*clip_text.cached_text_tower(), texts)
-                out["features"]["au"] = feats.mean(axis=0, keepdims=True)
+                if self.model_cfg.au_fusion_type == "mean":
+                    feats = feats.mean(axis=0, keepdims=True)
+                out["features"]["au"] = feats
         return out
 
     # -- text assembly ---------------------------------------------------------------

@@ -238,7 +238,15 @@ def demux_mjpeg_avi(video_path: str) -> Optional[List[Tuple[int, int]]]:
 
     Walks the 'movi' LIST directly (robust to both idx1 offset conventions
     and to index-free files); the result is the random-access frame table
-    the sampled-decode fast path needs."""
+    the sampled-decode fast path needs.
+
+    Stream discipline (matches native/videodec.cpp): the video stream id
+    is identified from the hdrl LIST's strh headers (first fccType 'vids'
+    strl, in declaration order), and only THAT stream's '##dc'/'##db'
+    chunks enter the table — a second video stream (thumbnail/preview)
+    or a JPEG-bodied non-primary stream would otherwise interleave wrong
+    frames silently. 'LIST rec ' interleave groups are descended into,
+    not skipped."""
     import mmap
 
     try:
@@ -251,27 +259,57 @@ def demux_mjpeg_avi(video_path: str) -> Optional[List[Tuple[int, int]]]:
     with data:
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             return None
-        # top-level chunk walk → the LIST/movi body
+        # top-level chunk walk → hdrl (stream headers) + the LIST/movi body
         pos, end = 12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
         movi: Optional[Tuple[int, int]] = None
+        hdrl: Optional[Tuple[int, int]] = None
         while pos + 8 <= end:
             fourcc = data[pos : pos + 4]
             size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if fourcc == b"LIST" and data[pos + 8 : pos + 12] == b"hdrl":
+                hdrl = (pos + 12, pos + 8 + size)
             if fourcc == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
                 movi = (pos + 12, pos + 8 + size)
                 break
             pos += 8 + size + (size & 1)
         if movi is None:
             return None
+        # video stream number = index of the first 'vids' strl in hdrl
+        video_stream = None
+        if hdrl is not None:
+            stream_idx = 0
+            pos, end = hdrl
+            while pos + 8 <= end:
+                fourcc = data[pos : pos + 4]
+                size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+                if fourcc == b"LIST" and data[pos + 8 : pos + 12] == b"strl":
+                    # strl body starts with the strh chunk; fccType at +8
+                    if data[pos + 12 : pos + 16] == b"strh":
+                        if data[pos + 20 : pos + 24] == b"vids" and video_stream is None:
+                            video_stream = stream_idx
+                    stream_idx += 1
+                pos += 8 + size + (size & 1)
+        want = b"%02d" % video_stream if video_stream is not None else None
+
         entries: List[Tuple[int, int]] = []
-        pos, end = movi
-        while pos + 8 <= end:
-            fourcc = data[pos : pos + 4]
-            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-            body = pos + 8
-            if fourcc[2:4] in (b"dc", b"db") and size >= 2 and data[body : body + 2] == b"\xff\xd8":
-                entries.append((body, size))
-            pos = body + size + (size & 1)
+
+        def scan(pos: int, end: int) -> None:
+            while pos + 8 <= end:
+                fourcc = data[pos : pos + 4]
+                size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+                body = pos + 8
+                if fourcc == b"LIST" and data[body : body + 4] == b"rec ":
+                    scan(body + 4, body + size)  # interleave group: descend
+                elif (
+                    fourcc[2:4] in (b"dc", b"db")
+                    and (want is None or fourcc[:2] == want)
+                    and size >= 2
+                    and data[body : body + 2] == b"\xff\xd8"
+                ):
+                    entries.append((body, size))
+                pos = body + size + (size & 1)
+
+        scan(*movi)
         return entries or None
 
 

@@ -179,6 +179,15 @@ _GROUPS = ("video", "audio", "image", "au")
 _GROUP_CFG_MODALITY = {
     "video": "frame", "audio": "audio", "image": "image", "au": "au",
 }
+# NOTE on the "au" group: AU features are a vestigial channel in the
+# reference — encode_au_merge runs when samples carry 'aus' but its output
+# is never spliced into the LLM input (no AU patch token in the splice
+# list, reference affectgpt.py:969-1009) — and the same holds here (no
+# 'au' offsets are ever produced). When the au merger is trainable but
+# loss-unreachable, torch AdamW leaves its params untouched (None grads
+# are skipped) while optax.adamw applies decoupled weight decay to
+# zero-grad leaves; the drift is confined to parameters that can never
+# influence outputs.
 
 
 def init_trainable(rng: jax.Array, cfg: AffectGPTConfig, dtype=jnp.float32) -> dict:

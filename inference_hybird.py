@@ -302,6 +302,17 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
     for ds_name in datasets:
         node = dict(cfg.datasets.get(ds_name.lower(), {}) or {})
         node.setdefault("face_or_frame", face_or_frame)
+        if node.get("use_au_clip_realtime"):
+            # AU features never reach the LLM input (no AU patch token in
+            # either framework; the reference driver passes AU as Nonverbal
+            # text only, inference_hybird.py:304), so per-sample CLIP text
+            # encodes here would buy nothing — skip them. The knob still
+            # drives the precompute CLI and direct load_modalities users.
+            logger.info(
+                "%s: use_au_clip_realtime disabled for batch inference "
+                "(AU reaches the prompt via nonverbal text)", ds_name,
+            )
+            node["use_au_clip_realtime"] = False
         ds_cfg = DatasetConfig.from_cfg(node)
         dataset = registry.get("dataset", ds_name)(tokenizer, ds_cfg, data_model_cfg)
 
@@ -340,11 +351,15 @@ def run_datasets(args, cfg, chat, frozen, model_cfg, tokenizer, datasets,
             pending = (
                 pool.submit(load_chunk, chunks[ci + 1]) if ci + 1 < len(chunks) else None
             )
-            # stack features (preextracted) or encode raw media on device;
-            # "au" arrives as a feature from the realtime CLIP-text path
-            # (use_au_clip_realtime) or a precomputed cache — never raw
+            # stack features (preextracted) or encode raw media on device.
+            # "au" is intentionally NOT stacked: AU features are vestigial
+            # at the LLM input in the reference too — its splice list has
+            # no AU patch token (affectgpt.py:969-1009) and its driver
+            # passes AU as Nonverbal TEXT only ("img_list no longer
+            # contains AU", reference inference_hybird.py:304) — so feeding
+            # them would only pay a dead au-merger forward per batch.
             stacked: dict = {}
-            for m in ("frame", "face", "audio", "au"):
+            for m in ("frame", "face", "audio"):
                 pre = [p["features"].get(m) for p in feats_per_name]
                 if all(f is not None for f in pre):
                     stacked[m] = jnp.asarray(np.stack(pre))

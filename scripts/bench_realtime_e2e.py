@@ -160,14 +160,21 @@ def _to_wire_video(rgb_frames: np.ndarray) -> np.ndarray:
     """[T, H, W, 3] uint8 RGB → wire format ([T, H*3/2, W] I420 or RGB).
 
     The I420 conversion runs as ONE cvtColor over the [T·H, W, 3] tall
-    image: H is even, so 2×2 chroma blocks never cross frame boundaries
-    and the tall planes reshape exactly to per-frame planes (profiled
-    ~25% cheaper than T separate calls on the 1-core host)."""
+    image when H % 4 == 0 (every frame's packed U/V planes then occupy
+    whole w-wide rows — h·w/4 bytes = h/4 rows each — so the tall planes
+    reshape exactly to per-frame planes; profiled ~25% cheaper than T
+    separate calls on the 1-core host). H ≡ 2 (mod 4) geometries fall
+    back to per-frame conversion, which only needs H even."""
     if RGB_WIRE:
         return rgb_frames
     import cv2
 
     t, h, w, _ = rgb_frames.shape
+    if h % 4:
+        return np.stack([
+            cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_RGB2YUV_I420)
+            for f in rgb_frames
+        ])  # [t, h·3/2, w]
     tall = cv2.cvtColor(np.ascontiguousarray(rgb_frames.reshape(t * h, w, 3)),
                         cv2.COLOR_RGB2YUV_I420)  # [(t·h)·3/2, w]
     y = tall[: t * h].reshape(t, h, w)
@@ -324,6 +331,11 @@ def main():
     # uploads submitted ahead of turn queue bulk bytes in front of the
     # small token fetches the fences need.
     n_batches = len(clips) // BATCH
+    if n_batches == 0:
+        raise SystemExit(
+            f"corpus smaller than one batch ({len(clips)} clips < batch {BATCH}): "
+            "raise RT_E2E_CLIPS or lower RT_E2E_BATCH"
+        )
     n_stream = n_batches * BATCH
     workers = DecodeWorkers(clips[:n_stream], WORKERS)
     workers.start()

@@ -198,6 +198,19 @@ def test_au_clip_realtime_path(matrix_env):
     au = payload["features"].get("au")
     assert au is not None and au.shape == (1, 512) and np.isfinite(au).all()
 
+    # host-side mean-pooling is exact ONLY for the default `mean` au
+    # fusion; attention/qformer mergers weight timesteps, so those must
+    # receive the full [N, 512] sequence (the fixture writes 2
+    # summary_description entries)
+    ds_attn = registry.get("dataset", "MERCaptionPlus")(
+        ByteTokenizer(), cfg, ModelDataConfig(au_fusion_type="attention")
+    )
+    au_full = ds_attn.load_modalities({"name": NAMES[0]})["features"]["au"]
+    assert au_full.shape == (2, 512)
+    np.testing.assert_allclose(
+        au_full.mean(axis=0, keepdims=True), au, rtol=1e-5, atol=1e-6
+    )
+
     # knob off → no au feature
     import dataclasses
 

@@ -147,3 +147,77 @@ class TestCv2DemuxFastPath:
         assert media._read_video_avi_cv2(str(src), 4, "uniform", None, None) is None
         # and read_video_frames still succeeds via the later rungs
         assert media.read_video_frames(str(src), n_frms=4).shape[0] == 4
+
+    # -- stream discipline (parity with native/videodec.cpp's strh-based
+    #    stream selection): only the strh-identified video stream's chunks
+    #    may enter the frame table, and 'LIST rec ' interleave groups must
+    #    be descended into, not skipped -----------------------------------
+
+    @staticmethod
+    def _chunk(fourcc: bytes, body: bytes) -> bytes:
+        import struct
+
+        return fourcc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    @classmethod
+    def _list(cls, kind: bytes, body: bytes) -> bytes:
+        return cls._chunk(b"LIST", kind + body)
+
+    @classmethod
+    def _build_avi(cls, tmp_path, stream_types, movi_body, name="multi.avi"):
+        """Minimal AVI: hdrl declares one strl per stream type (in order),
+        movi_body is raw pre-built chunk bytes."""
+        import struct
+
+        strls = b"".join(
+            cls._list(b"strl", cls._chunk(b"strh", fcc_type + b"\x00" * 44))
+            for fcc_type in stream_types
+        )
+        hdrl = cls._list(b"hdrl", cls._chunk(b"avih", b"\x00" * 56) + strls)
+        movi = cls._list(b"movi", movi_body)
+        riff_body = b"AVI " + hdrl + movi
+        dst = tmp_path / name
+        dst.write_bytes(b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body)
+        return dst
+
+    def test_second_video_stream_filtered(self, tmp_path):
+        # stream 0 = primary vids, stream 1 = preview vids whose chunks are
+        # ALSO JPEG-bodied: a payload-sniffing demux would interleave them
+        jpeg = lambda tag: b"\xff\xd8" + tag + b"\xff\xd9"  # noqa: E731
+        movi = b"".join(
+            self._chunk(b"00dc", jpeg(b"A%d" % i)) + self._chunk(b"01dc", jpeg(b"B%d" % i))
+            for i in range(4)
+        )
+        dst = self._build_avi(tmp_path, [b"vids", b"vids"], movi)
+        entries = media.demux_mjpeg_avi(str(dst))
+        assert entries is not None and len(entries) == 4
+        data = dst.read_bytes()
+        for off, size in entries:
+            assert data[off + 2 : off + 3] == b"A"  # stream 0 only
+
+    def test_audio_stream_first_still_finds_video(self, tmp_path):
+        # stream 0 = auds, stream 1 = vids → video chunks are '01dc'
+        jpeg = b"\xff\xd8xx\xff\xd9"
+        movi = b"".join(
+            self._chunk(b"00wb", b"\x00" * 8) + self._chunk(b"01dc", jpeg)
+            for _ in range(3)
+        )
+        dst = self._build_avi(tmp_path, [b"auds", b"vids"], movi)
+        entries = media.demux_mjpeg_avi(str(dst))
+        assert entries is not None and len(entries) == 3
+
+    def test_rec_groups_descended(self, tmp_path):
+        # frames wrapped in 'LIST rec ' interleave groups (some bare) must
+        # all land in the table, in order
+        jpeg = lambda i: b"\xff\xd8" + (b"F%d" % i) + b"\xff\xd9"  # noqa: E731
+        movi = (
+            self._list(b"rec ", self._chunk(b"00dc", jpeg(0)) + self._chunk(b"00dc", jpeg(1)))
+            + self._chunk(b"00dc", jpeg(2))
+            + self._list(b"rec ", self._chunk(b"00dc", jpeg(3)))
+        )
+        dst = self._build_avi(tmp_path, [b"vids"], movi)
+        entries = media.demux_mjpeg_avi(str(dst))
+        assert entries is not None and len(entries) == 4
+        data = dst.read_bytes()
+        got = [data[off + 2 : off + 4] for off, _ in entries]
+        assert got == [b"F0", b"F1", b"F2", b"F3"]
