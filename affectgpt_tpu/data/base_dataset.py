@@ -113,6 +113,7 @@ class BaseDataset:
         self.rng = random.Random(seed)
         self.needed_data = prompts.get_needed_data(dataset_cfg.face_or_frame)
         self._nonverbal_cache: Optional[dict] = None
+        self._au_feat_cache: Dict[str, np.ndarray] = {}
         if not hasattr(self, "annotation"):
             self.annotation = []
 
@@ -255,14 +256,21 @@ class BaseDataset:
             and name
             and "au" in self.cfg.face_or_frame.split("_")
         ):
-            texts = media.load_au_summary_texts(self.cfg.mer_factory_output, name)
-            if texts:
-                from affectgpt_tpu.utils import clip_text
+            cached = self._au_feat_cache.get(name)
+            if cached is not None:
+                out["features"]["au"] = cached
+            else:
+                texts = media.load_au_summary_texts(self.cfg.mer_factory_output, name)
+                if texts:
+                    from affectgpt_tpu.utils import clip_text
 
-                feats = clip_text.encode_texts(*clip_text.cached_text_tower(), texts)
-                if self.model_cfg.au_fusion_type == "mean":
-                    feats = feats.mean(axis=0, keepdims=True)
-                out["features"]["au"] = feats
+                    feats = clip_text.encode_texts(*clip_text.cached_text_tower(), texts)
+                    if self.model_cfg.au_fusion_type == "mean":
+                        feats = feats.mean(axis=0, keepdims=True)
+                    # the summary texts are immutable per clip name — memoize
+                    # so multi-epoch training doesn't re-pay the CLIP text
+                    # forward per sample per epoch ([N,512] f32 ≈ 2 KB/clip)
+                    out["features"]["au"] = self._au_feat_cache[name] = feats
         return out
 
     # -- text assembly ---------------------------------------------------------------
@@ -391,8 +399,18 @@ class BaseDataset:
         raws: Dict[str, np.ndarray] = {}
         for m in ("frame", "face", "audio", "image", "au"):
             feats = [inst["features"].get(m) for inst in instances]
-            if all(f is not None for f in feats) and len({f.shape for f in feats}) == 1:
-                features[m] = np.stack(feats)
+            if all(f is not None for f in feats):
+                if len({f.shape for f in feats}) == 1:
+                    features[m] = np.stack(feats)
+                else:
+                    # every sample carried the payload but lengths are
+                    # ragged (e.g. variable-count AU texts under a
+                    # non-mean au fusion) — dropping it silently would
+                    # look like "modality absent" downstream
+                    logger.warning(
+                        "collate: dropping ragged %r features (shapes %s)",
+                        m, sorted({f.shape for f in feats}),
+                    )
             rs = [inst["raw"].get(m) for inst in instances]
             if all(r is not None for r in rs) and len({r.shape for r in rs}) == 1:
                 raws[m] = np.stack(rs)

@@ -44,6 +44,7 @@ def build_datasets(cfg: Config, tokenizer, model_cfg: affectgpt.AffectGPTConfig)
         num_audio_query_token=model_cfg.num_audio_query_token,
         num_multi_query_token=model_cfg.num_multi_query_token,
         num_image_query_token=model_cfg.num_image_query_token,
+        au_fusion_type=model_cfg.au_fusion_type,
     )
     datasets, ratios = [], []
     for name, node in cfg.datasets.items():

@@ -191,6 +191,7 @@ def main() -> None:
         num_audio_query_token=model_cfg.num_audio_query_token,
         num_multi_query_token=model_cfg.num_multi_query_token,
         num_image_query_token=model_cfg.num_image_query_token,
+        au_fusion_type=model_cfg.au_fusion_type,
     )
 
     if args.fuse_qkv and not merge:

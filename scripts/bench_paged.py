@@ -54,6 +54,27 @@ BURST = int(os.environ.get("PAGED_BURST", 8))
 PROMPT_LEN = 128
 
 
+def _parse_repeats() -> int:
+    """--repeats N / PAGED_REPEATS — validated at import time, BEFORE the
+    multi-minute model build + warmup compile, so a malformed flag fails
+    in milliseconds instead of after an exclusive TPU session."""
+    repeats = int(os.environ.get("PAGED_REPEATS", 1))
+    if "--repeats" in sys.argv:
+        i = sys.argv.index("--repeats")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("usage: bench_paged.py [--repeats N] — missing N")
+        try:
+            repeats = int(sys.argv[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"usage: bench_paged.py [--repeats N] — got {sys.argv[i + 1]!r}"
+            ) from None
+    return max(repeats, 1)
+
+
+REPEATS = _parse_repeats()
+
+
 class _Tok:
     eos_token_id = 0
 
@@ -167,10 +188,7 @@ def main():
     # warm the compiled programs (full-bucket prefill + decode step)
     stream_requests(10_000, SLOTS)
 
-    repeats = int(os.environ.get("PAGED_REPEATS", 1))
-    if "--repeats" in sys.argv:
-        repeats = int(sys.argv[sys.argv.index("--repeats") + 1])
-    runs = [stream_requests(r * REQUESTS, REQUESTS) for r in range(max(repeats, 1))]
+    runs = [stream_requests(r * REQUESTS, REQUESTS) for r in range(REPEATS)]
     runs.sort(key=lambda r: r[0])
     paged_cps, stats, sla, paged_dt = runs[len(runs) // 2]  # median run
     cps_list = [round(r[0], 1) for r in runs]

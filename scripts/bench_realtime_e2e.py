@@ -62,7 +62,6 @@ FRAMES = int(os.environ.get("RT_E2E_FRAMES", 8))
 NEW = int(os.environ.get("RT_E2E_NEW", 32))
 TINY = bool(os.environ.get("RT_E2E_TINY"))
 RGB_WIRE = os.environ.get("RT_E2E_RGB", "0") == "1"
-PROMPT_LEN = 128
 WAV_SAMPLES = 3200 if TINY else 64000  # 4 s @ 16 kHz (windows sliced on device)
 WIN = 1600 if TINY else 32000  # 2 s HuBERT windows (reference clip length)
 FRAME_HW = 56 if TINY else 224  # ingest-tier frame resolution
@@ -142,14 +141,13 @@ def build_corpus(root: str) -> list:
 
 
 def _write_wav16(path: str, samples: np.ndarray, rate: int) -> None:
-    import struct
+    import wave
 
-    data = samples.astype("<i2").tobytes()
-    with open(path, "wb") as fh:
-        fh.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
-        fh.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
-                                       rate * 2, 2, 16))
-        fh.write(b"data" + struct.pack("<I", len(data)) + data)
+    with wave.open(path, "wb") as fh:
+        fh.setnchannels(1)
+        fh.setsampwidth(2)
+        fh.setframerate(rate)
+        fh.writeframes(samples.astype("<i2").tobytes())
 
 
 # ---------------------------------------------------------------------------
@@ -227,12 +225,25 @@ class DecodeWorkers:
             except queue.Empty:
                 return
             t0 = time.perf_counter()
-            wire = decode_clip(entry)
+            try:
+                wire = decode_clip(entry)
+            except Exception as exc:  # noqa: BLE001 — a corrupt clip must
+                # fail the bench loudly, not strand next_batch() forever on
+                # an item that will never arrive (this process holds the
+                # exclusive TPU slot while it waits).
+                self.done.put({"__error__": (entry, repr(exc))})
+                continue
             self.busy[w] += time.perf_counter() - t0
             self.done.put(wire)
 
     def next_batch(self, n: int) -> dict:
-        items = [self.done.get() for _ in range(n)]
+        items = []
+        for _ in range(n):
+            it = self.done.get()
+            if "__error__" in it:
+                entry, err = it["__error__"]
+                raise RuntimeError(f"decode worker failed on {entry}: {err}")
+            items.append(it)
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
 
@@ -273,9 +284,12 @@ def main():
     print(f"# device: {jax.devices()[0]}", flush=True)
 
     input_ids, _, offsets = make_clip_batch(cfg, BATCH)
-    lengths = jnp.full((BATCH,), PROMPT_LEN, jnp.int32)
+    # bench.make_clip_batch honors BENCH_PROMPT_LEN — derive lengths from
+    # the ids it actually built, not this file's PROMPT_LEN constant
+    prompt_len = int(input_ids.shape[1])
+    lengths = jnp.full((BATCH,), prompt_len, jnp.int32)
     gcfg = gen.GenerateConfig(max_new_tokens=NEW, do_sample=False, eos_token_id=0)
-    max_len = PROMPT_LEN + NEW + 32
+    max_len = prompt_len + NEW + 32
     win_starts = np.linspace(0, WAV_SAMPLES - WIN, FRAMES).astype(int)
 
     @jax.jit
