@@ -36,6 +36,10 @@ from affectgpt_tpu.ops import audio as audio_ops
 
 logger = logging.getLogger(__name__)
 
+# modalities whose ragged-collate drop has already been logged (once per
+# process — see collate below)
+_RAGGED_WARNED: set = set()
+
 
 @dataclass
 class DatasetConfig:
@@ -164,16 +168,8 @@ class BaseDataset:
             or not sample_name
         ):
             return None
-        json_path = os.path.join(
-            self.cfg.mer_factory_output, sample_name, f"{sample_name}_au_analysis.json"
-        )
-        try:
-            with open(json_path) as handle:
-                import json
-
-                return json.load(handle).get("au_info")
-        except OSError:
-            return None
+        data = media.load_au_analysis(self.cfg.mer_factory_output, sample_name)
+        return data.get("au_info") if data is not None else None
 
     # -- modality loading ------------------------------------------------------------
     def _feature_path(self, modality: str, sample_name: str) -> str:
@@ -402,13 +398,18 @@ class BaseDataset:
             if all(f is not None for f in feats):
                 if len({f.shape for f in feats}) == 1:
                     features[m] = np.stack(feats)
-                else:
+                elif m not in _RAGGED_WARNED:
                     # every sample carried the payload but lengths are
                     # ragged (e.g. variable-count AU texts under a
                     # non-mean au fusion) — dropping it silently would
-                    # look like "modality absent" downstream
+                    # look like "modality absent" downstream. Warn ONCE
+                    # per modality: under a non-mean au fusion nearly
+                    # every batch is ragged and a per-batch warning
+                    # floods the log (~300k lines on a 60-epoch recipe).
+                    _RAGGED_WARNED.add(m)
                     logger.warning(
-                        "collate: dropping ragged %r features (shapes %s)",
+                        "collate: dropping ragged %r features (shapes %s; "
+                        "warning once per modality)",
                         m, sorted({f.shape for f in feats}),
                     )
             rs = [inst["raw"].get(m) for inst in instances]

@@ -26,6 +26,7 @@ and index selection; every pixel/sample transform happens on device
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 import struct
 from typing import List, Optional, Tuple
@@ -246,7 +247,16 @@ def demux_mjpeg_avi(video_path: str) -> Optional[List[Tuple[int, int]]]:
     chunks enter the table — a second video stream (thumbnail/preview)
     or a JPEG-bodied non-primary stream would otherwise interleave wrong
     frames silently. 'LIST rec ' interleave groups are descended into,
-    not skipped."""
+    not skipped.
+
+    Frame-table parity with the native demuxer: EVERY size>0 chunk of the
+    video stream enters the table (videodec.cpp pushes the same set), so
+    sampled indices map to the same temporal positions on both backends
+    even when the stream carries non-JPEG placeholder chunks; codec
+    detection instead checks the FIRST entry for a JPEG SOI. All walk
+    bounds are clamped to the real file length so truncated or
+    size-lying containers return None (ladder falls through) instead of
+    raising."""
     import mmap
 
     try:
@@ -267,9 +277,9 @@ def demux_mjpeg_avi(video_path: str) -> Optional[List[Tuple[int, int]]]:
             fourcc = data[pos : pos + 4]
             size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
             if fourcc == b"LIST" and data[pos + 8 : pos + 12] == b"hdrl":
-                hdrl = (pos + 12, pos + 8 + size)
+                hdrl = (pos + 12, min(pos + 8 + size, len(data)))
             if fourcc == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
-                movi = (pos + 12, pos + 8 + size)
+                movi = (pos + 12, min(pos + 8 + size, len(data)))
                 break
             pos += 8 + size + (size & 1)
         if movi is None:
@@ -294,6 +304,7 @@ def demux_mjpeg_avi(video_path: str) -> Optional[List[Tuple[int, int]]]:
         entries: List[Tuple[int, int]] = []
 
         def scan(pos: int, end: int) -> None:
+            end = min(end, len(data))
             while pos + 8 <= end:
                 fourcc = data[pos : pos + 4]
                 size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
@@ -303,14 +314,19 @@ def demux_mjpeg_avi(video_path: str) -> Optional[List[Tuple[int, int]]]:
                 elif (
                     fourcc[2:4] in (b"dc", b"db")
                     and (want is None or fourcc[:2] == want)
-                    and size >= 2
-                    and data[body : body + 2] == b"\xff\xd8"
+                    and size > 0
+                    and body + size <= len(data)
                 ):
                     entries.append((body, size))
                 pos = body + size + (size & 1)
 
         scan(*movi)
-        return entries or None
+        if not entries:
+            return None
+        first_off, _ = entries[0]
+        if data[first_off : first_off + 2] != b"\xff\xd8":
+            return None  # video stream isn't MJPEG → next ladder rung
+        return entries
 
 
 def _read_video_avi_cv2(video_path, n_frms, sampling_name, rng, au_info):
@@ -549,6 +565,29 @@ def load_feature(path: str) -> Optional[np.ndarray]:
     return np.load(path)
 
 
+@_functools.lru_cache(maxsize=1024)
+def _load_au_analysis_cached(json_path: str):
+    import json
+
+    try:
+        with open(json_path) as handle:
+            return json.load(handle)
+    except (OSError, ValueError):
+        return None
+
+
+def load_au_analysis(mer_factory_output: str, sample_name: str):
+    """Parsed {name}_au_analysis.json for a sample, or None. ONE cached
+    parse serves both per-call consumers in the hot ingest loop —
+    emotion_peak sampling (get_au_info) and the realtime AU text path
+    (load_au_summary_texts) each need the same file every
+    load_modalities call. Treat the returned dict as read-only (shared
+    across callers via the cache)."""
+    return _load_au_analysis_cached(
+        os.path.join(mer_factory_output, sample_name, f"{sample_name}_au_analysis.json")
+    )
+
+
 def load_au_summary_texts(mer_factory_output: str, sample_name: str) -> list:
     """Per-sample AU summary descriptions from the MER-Factory output tree
     ({root}/{name}/{name}_au_analysis.json). Accepts every layout the
@@ -558,15 +597,8 @@ def load_au_summary_texts(mer_factory_output: str, sample_name: str) -> list:
     a single string — falling back to `fine_grained_descriptions`, plus the
     per-frame `au_info.frames[].summary_description` list). Returns [] when
     the JSON is absent or carries no descriptions."""
-    import json
-
-    json_path = os.path.join(
-        mer_factory_output, sample_name, f"{sample_name}_au_analysis.json"
-    )
-    try:
-        with open(json_path) as handle:
-            data = json.load(handle)
-    except (OSError, ValueError):
+    data = load_au_analysis(mer_factory_output, sample_name)
+    if data is None:
         return []
 
     for key in ("summary_description", "fine_grained_descriptions"):

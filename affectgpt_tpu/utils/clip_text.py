@@ -63,12 +63,19 @@ def byte_fallback_tokenize(texts, cfg) -> np.ndarray:
 
 
 def encode_texts(params, cfg, texts) -> np.ndarray:
-    """texts → [N, 512] float32 CLIP text embeddings."""
+    """texts → [N, 512] float32 L2-normalized CLIP text embeddings.
+
+    Row-normalized to match the reference's AU/fine-grained extraction
+    (extract_multimodal_features_precompute.py:770: `text_features /
+    text_features.norm(dim=-1, keepdim=True)`) so caches built here mix
+    with reference-built caches at the same per-row scale."""
     import jax.numpy as jnp
 
     from affectgpt_tpu.models import clip_vit
 
     ids = byte_fallback_tokenize(texts, cfg)
-    return np.asarray(
+    feats = np.asarray(
         clip_vit.encode_text(params, cfg, jnp.asarray(ids)), dtype=np.float32
     )
+    norms = np.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats / np.maximum(norms, 1e-12)

@@ -206,6 +206,47 @@ class TestCv2DemuxFastPath:
         entries = media.demux_mjpeg_avi(str(dst))
         assert entries is not None and len(entries) == 3
 
+    def test_truncated_avi_does_not_raise(self, tmp_path):
+        # A truncated MJPEG-AVI (partial download / interrupted transcode)
+        # whose RIFF/movi size fields exceed the real file length must not
+        # crash the ladder: demux either returns a clamped in-bounds table
+        # or None — never struct.error — and read_video_frames still
+        # returns frames (fast path on the surviving prefix, or fallthrough).
+        dst, original = self._write_avi(tmp_path)
+        data = dst.read_bytes()
+        cut = tmp_path / "cut.avi"
+        cut.write_bytes(data[: 2 * len(data) // 3])
+        entries = media.demux_mjpeg_avi(str(cut))
+        if entries is not None:
+            assert all(off + size <= 2 * len(data) // 3 for off, size in entries)
+        frames = media.read_video_frames(str(cut), n_frms=4)
+        assert frames.shape[0] == 4
+
+    def test_placeholder_chunks_keep_native_count(self, tmp_path):
+        # Frame-table parity with native/videodec.cpp: every size>0 video
+        # chunk counts (incl. non-JPEG dropped-frame placeholders), so both
+        # backends map sampled indices to the same temporal positions. A
+        # sampled placeholder then fails imdecode → rung falls through
+        # instead of silently returning index-shifted frames.
+        pytest.importorskip("cv2")
+        jpeg = lambda i: b"\xff\xd8" + (b"F%d" % i) + b"\xff\xd9"  # noqa: E731
+        movi = (
+            self._chunk(b"00dc", jpeg(0))
+            + self._chunk(b"00dc", b"\x00\x00\x00\x00")  # placeholder, no SOI
+            + self._chunk(b"00dc", jpeg(2))
+        )
+        dst = self._build_avi(tmp_path, [b"vids"], movi)
+        entries = media.demux_mjpeg_avi(str(dst))
+        assert entries is not None and len(entries) == 3
+        assert media._read_video_avi_cv2(str(dst), 3, "uniform", None, None) is None
+
+    def test_non_mjpeg_codec_falls_through(self, tmp_path):
+        # First video chunk without a JPEG SOI = not an MJPEG stream →
+        # the whole demux declines so the generic rungs handle the codec.
+        movi = self._chunk(b"00dc", b"\x10" * 64) + self._chunk(b"00dc", b"\x20" * 64)
+        dst = self._build_avi(tmp_path, [b"vids"], movi)
+        assert media.demux_mjpeg_avi(str(dst)) is None
+
     def test_rec_groups_descended(self, tmp_path):
         # frames wrapped in 'LIST rec ' interleave groups (some bare) must
         # all land in the table, in order
