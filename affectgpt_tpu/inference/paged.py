@@ -112,7 +112,9 @@ class BlockAllocator:
             raise RuntimeError("paged KV pool exhausted")
         return [self.free.pop() for _ in range(n_blocks)]
 
-    def extend(self, table: List[int], old_len: int, new_len: int) -> List[int]:
+    def extend(self, table: List[int], new_len: int) -> List[int]:
+        """Grow table to cover new_len tokens (current coverage is derived
+        from len(table) — blocks are never returned mid-sequence)."""
         need = -(-new_len // self.pcfg.block_size) - len(table)
         for _ in range(need):
             if not self.free:
@@ -410,7 +412,7 @@ class PagedBatchServer:
     top-p sampling with do_sample=True."""
 
     def __init__(self, frozen, trainable, cfg, tokenizer, pcfg: Optional[PagedConfig] = None,
-                 max_slots: int = 8, dtype=jnp.float32, seed: int = 0,
+                 max_slots: int = 8, dtype=None, seed: int = 0,
                  do_sample: bool = False, top_p: float = 0.9, temperature: float = 1.0,
                  prefill_bucket: int = 64, mesh=None, decode_burst: int = 8,
                  admission: str = "reserve", prefill_batch: int = 256,
@@ -443,6 +445,12 @@ class PagedBatchServer:
         self.tokenizer = tokenizer
         self.pcfg = pcfg or PagedConfig()
         self.max_slots = max_slots
+        if dtype is None:
+            # match the model weights (same rule as the dense BatchServer):
+            # an f32 pool against bf16 weights doubles pool HBM, runs the
+            # whole decode core in f32, and silently disqualifies the fused
+            # bf16 decode kernels
+            dtype = jnp.result_type(jax.tree.leaves(frozen["llm"])[0].dtype)
         self.pools = init_paged_cache(cfg.llm, self.pcfg, dtype=dtype)
         if self._pool_sharding is not None:
             self.pools = jax.tree.map(
@@ -526,6 +534,37 @@ class PagedBatchServer:
         return _gen.top_p_sample(key, logits, self.top_p, self.temperature)
 
     def submit(self, request) -> None:
+        # boundary validation — two classes of request can NEVER be served
+        # and would otherwise fail far from the caller:
+        # (a) prompt ≥ max_seq_len: the t_bucket clamp would crash _admit
+        #     mid-batch (leaking already-allocated blocks), and a prompt of
+        #     exactly max_seq_len would decode one token through a clamped
+        #     out-of-bounds page write (silent KV corruption of the last
+        #     block's first entry);
+        # (b) reserve-mode lifetime footprint larger than the whole pool:
+        #     the admission check can never pass, so the request would
+        #     livelock step() at the head of the queue and run_until_drained
+        #     would spin max_steps then silently drop it and everything
+        #     queued behind it.
+        if len(request.input_ids) >= self.pcfg.max_seq_len:
+            raise ValueError(
+                f"prompt length {len(request.input_ids)} must be < "
+                f"max_seq_len {self.pcfg.max_seq_len} (one position is "
+                f"needed for decode)"
+            )
+        lifetime = len(request.input_ids) + (
+            0 if self.admission == "optimistic" else request.max_new_tokens
+        )
+        need = min(
+            -(-lifetime // self.pcfg.block_size), self.pcfg.max_blocks_per_seq
+        )
+        if need > self.pcfg.num_blocks - 1:  # block 0 is the null page
+            raise ValueError(
+                f"request needs {need} blocks (prompt {len(request.input_ids)}"
+                f" + max_new_tokens {request.max_new_tokens}) but the pool "
+                f"has only {self.pcfg.num_blocks - 1} allocatable blocks — "
+                f"it could never be admitted"
+            )
         self.pending.append(request)
         self.clock.submitted(request.request_id)
 
@@ -535,13 +574,19 @@ class PagedBatchServer:
             return
         # admit the longest prefix of pending requests that (a) fits the
         # free slots, (b) fits the block pool, and (c) shares one modality
-        # signature so the whole admission prefills as ONE batched forward
-        signature = tuple(sorted(self.pending[0].features))
+        # signature — names AND shapes, since the whole admission prefills
+        # as ONE batched forward via np.stack (a shape mismatch would raise
+        # after this batch's blocks were already allocated, leaking them)
+        def _sig(req):
+            return tuple(sorted((m, tuple(v.shape)) for m, v in req.features.items()))
+
+        signature = _sig(self.pending[0])
+        modalities = [m for m, _ in signature]
         batch, blocks_needed, tokens_planned = [], 0, 0
         for req in self.pending:
             if len(batch) >= min(len(free), self.prefill_batch):
                 break
-            if tuple(sorted(req.features)) != signature:
+            if _sig(req) != signature:
                 break
             if (self.prefill_chunk_tokens is not None and batch
                     and tokens_planned + len(req.input_ids) > self.prefill_chunk_tokens):
@@ -608,13 +653,13 @@ class PagedBatchServer:
                 [r.features[m] for r in batch]
                 + [np.zeros_like(np.asarray(batch[0].features[m]))] * n_dummy
             ))
-            for m in signature
+            for m in modalities
         }
         offs = {
             m: jnp.asarray(
                 [r.offsets.get(m, -1) for r in batch] + [-1] * n_dummy, jnp.int32
             )
-            for m in signature
+            for m in modalities
         }
         embeds = self._build_embeds(
             self.frozen, self.trainable, self.cfg, jnp.asarray(ids), feats, offs,
@@ -675,6 +720,9 @@ class PagedBatchServer:
             i, s = live.pop(j)
             self.alloc.release(s.get("reserved", 0))
             self.alloc.free_table(s["table"])
+            # insert(0) per victim, preempting youngest-first, leaves the
+            # LAST-preempted (oldest, most sunk work) at the queue head —
+            # re-admission order is oldest-first, as intended
             self.pending.insert(0, s["request"])
             self.clock.preempted(s["request_id"])
             self.slots[i] = None
@@ -709,7 +757,7 @@ class PagedBatchServer:
             need = -(-target // self.pcfg.block_size) - before
             if need > 0:
                 self.alloc.release(min(need, s["reserved"]))
-            self.alloc.extend(s["table"], s["pos"], target)
+            self.alloc.extend(s["table"], target)
             s["reserved"] = max(0, s["reserved"] - (len(s["table"]) - before))
             s["padded"][: len(s["table"])] = s["table"]
         # pad the live set to max_slots so the decode step compiles ONCE
@@ -779,6 +827,15 @@ class PagedBatchServer:
         for _ in range(max_steps):
             if not self.step():
                 break
+        live = sum(s is not None for s in self.slots)
+        if self.pending or live:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run_until_drained exhausted max_steps=%d with %d pending "
+                "and %d live slots — results are incomplete",
+                max_steps, len(self.pending), live,
+            )
         return self.results
 
 

@@ -4,9 +4,11 @@ Production-serving capability beyond the reference (which generates
 strictly batch-1 through HF generate, conversation_video.py:303-388):
 a slot-based scheduler keeps a fixed-capacity KV cache resident in HBM,
 admits new requests into free slots as others finish, and advances ALL
-active slots one token per compiled decode step. Three compiled
-programs (prefill, decode-step, per-slot cache splice) are reused for
-the server's lifetime — no recompilation as traffic changes shape.
+active slots one token per compiled decode step. The decode step
+compiles ONCE (fixed [max_slots] shapes); prefill + cache splice
+compile per power-of-two (admission size, prompt bucket) pair — the
+program count stays O(log slots × log prompts) as traffic changes
+shape, never per distinct batch.
 
 Design:
 - Global cache [layers][max_slots, max_len, kv_heads, head_dim].
@@ -156,10 +158,12 @@ def _splice_cache(cache, new_cache, slot_ids):
     ]
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+@partial(jax.jit, static_argnames=("cfg", "do_sample"), donate_argnames=("cache",))
 def _decode_step(frozen, trainable, cfg, cache, tokens, positions, active, rng, do_sample, top_p, temperature):
     """One token for every slot. tokens [S], positions [S] (next cache
-    column per slot), active [S] bool."""
+    column per slot), active [S] bool. do_sample is STATIC: a traced
+    jnp.where would bake the full [S, vocab] top-p sort+scatter into the
+    greedy program too, paying it every decode step for discarded work."""
     max_len = cache[0]["k"].shape[2]  # cache layout [slots, kv, T, d]
     embeds = qwen2.embed_tokens(frozen["llm"], tokens)[:, None, :].astype(cache[0]["k"].dtype)
     key_mask = (jnp.arange(max_len)[None, None, :] <= positions[:, None, None]) & active[:, None, None]
@@ -168,11 +172,10 @@ def _decode_step(frozen, trainable, cfg, cache, tokens, positions, active, rng, 
         positions=positions[:, None], cache=cache, cache_index=positions,
     )
     logits = logits[:, 0, :]
-    sampled = jnp.where(
-        do_sample,
-        gen.top_p_sample(rng, logits, top_p, temperature),
-        jnp.argmax(logits, axis=-1),
-    ).astype(jnp.int32)
+    if do_sample:
+        sampled = gen.top_p_sample(rng, logits, top_p, temperature).astype(jnp.int32)
+    else:
+        sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return sampled, cache
 
 
@@ -226,6 +229,16 @@ class BatchServer:
 
     # -- API -----------------------------------------------------------------
     def submit(self, request: Request) -> None:
+        # validate at the boundary: an over-long prompt admitted anyway
+        # would (a) crash _admit AFTER the batch was dequeued (requests
+        # lost) at > max_len, or (b) at exactly max_len leave no cache
+        # column for the first decode write — the clamped update would
+        # silently overwrite the last prompt token's K/V
+        if len(request.input_ids) >= self.max_len:
+            raise ValueError(
+                f"prompt length {len(request.input_ids)} must be < max_len "
+                f"{self.max_len} (one cache column is needed for decode)"
+            )
         self.pending.append(request)
         self.clock.submitted(request.request_id)
 
@@ -233,6 +246,15 @@ class BatchServer:
         for _ in range(max_steps):
             if not self.step():
                 break
+        if self.pending or any(not s.done for s in self.slots):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "run_until_drained exhausted max_steps=%d with %d pending "
+                "and %d live slots — results are incomplete",
+                max_steps, len(self.pending),
+                sum(not s.done for s in self.slots),
+            )
         return self.results
 
     # -- scheduling ------------------------------------------------------------
@@ -243,21 +265,50 @@ class BatchServer:
         free = self._free_slots()
         if not free or not self.pending:
             return
-        batch = self.pending[: len(free)]
+        # admit the longest prefix of pending that shares one modality
+        # SIGNATURE (names AND shapes): the admission prefills as one
+        # batched forward, so a mixed batch would KeyError on np.stack
+        # after the requests were already dequeued (engine dead, requests
+        # lost) — same discipline as the paged engine's _admit
+        signature = tuple(
+            sorted((m, tuple(v.shape)) for m, v in self.pending[0].features.items())
+        )
+        batch = []
+        for req in self.pending:
+            if len(batch) >= len(free):
+                break
+            if tuple(sorted((m, tuple(v.shape)) for m, v in req.features.items())) != signature:
+                break
+            batch.append(req)
         del self.pending[: len(batch)]
         slots = free[: len(batch)]
 
+        # batch-size bucket (next power of two): slots free one at a time
+        # under continuous batching, so admissions happen at every size
+        # 1..max_slots — unbucketed, each would compile a fresh prefill
+        # (~minutes each at 3B scale over the relay). Dummy rows prefill
+        # 1 pad token and scatter to slot id == max_slots, which JAX's
+        # out-of-bounds scatter DROPS — no real slot is touched.
+        n_real = len(batch)
+        n_bucket = 1
+        while n_bucket < n_real:
+            n_bucket *= 2
+        n_dummy = n_bucket - n_real
         t_max = max(len(r.input_ids) for r in batch)
         t_pad = min(-(-t_max // self.prefill_bucket) * self.prefill_bucket,
                     self.max_len)
-        ids = np.zeros((len(batch), t_pad), np.int32)
-        lengths = np.zeros(len(batch), np.int32)
+        ids = np.zeros((n_bucket, t_pad), np.int32)
+        lengths = np.ones(n_bucket, np.int32)  # dummy rows: 1 token
         offsets: Dict[str, np.ndarray] = {}
         features: Dict[str, np.ndarray] = {}
-        modalities = sorted({m for r in batch for m in r.features})
-        for m in modalities:
-            features[m] = np.stack([r.features[m] for r in batch])
-            offsets[m] = np.array([r.offsets.get(m, -1) for r in batch], np.int32)
+        for m, _ in signature:
+            features[m] = np.stack(
+                [r.features[m] for r in batch]
+                + [np.zeros_like(batch[0].features[m])] * n_dummy
+            )
+            offsets[m] = np.array(
+                [r.offsets.get(m, -1) for r in batch] + [-1] * n_dummy, np.int32
+            )
         for i, req in enumerate(batch):
             ids[i, : len(req.input_ids)] = req.input_ids
             lengths[i] = len(req.input_ids)
@@ -268,7 +319,9 @@ class BatchServer:
             {m: jnp.asarray(v) for m, v in offsets.items()},
             jnp.asarray(lengths), self.max_len,
         )
-        self.cache = _splice_cache(self.cache, new_cache, jnp.asarray(slots))
+        slot_ids = np.full(n_bucket, self.max_slots, np.int32)  # dummies → dropped
+        slot_ids[:n_real] = slots
+        self.cache = _splice_cache(self.cache, new_cache, jnp.asarray(slot_ids))
 
         # first token per admitted request comes from the prefill logits
         self.rng, key = jax.random.split(self.rng)

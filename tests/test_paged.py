@@ -19,7 +19,7 @@ class TestAllocator:
         alloc = paged.BlockAllocator(PCFG)
         table = alloc.allocate(9)  # 3 blocks of 4
         assert len(table) == 3 and 0 not in table
-        alloc.extend(table, 9, 13)  # needs a 4th block
+        alloc.extend(table, 13)  # needs a 4th block
         assert len(table) == 4
         before = len(alloc.free)
         alloc.free_table(table)
@@ -77,7 +77,7 @@ class TestPagedDecode:
         for _ in range(n_new - 1):
             if tokens[-1] == 257:
                 break
-            alloc.extend(table, pos, pos + 1)
+            alloc.extend(table, pos + 1)
             table_padded[: len(table)] = table
             logits, pools = paged.paged_decode_step(
                 PARAMS, CFG, pools, jnp.asarray([tokens[-1]]), jnp.asarray([pos]),
@@ -138,7 +138,7 @@ class TestPagedDecode:
 
         # joint decode step for both sequences
         for s in seqs:
-            alloc.extend(s["table"], s["pos"], s["pos"] + 1)
+            alloc.extend(s["table"], s["pos"] + 1)
             s["padded"][: len(s["table"])] = s["table"]
         tokens = jnp.asarray([s["tok"] for s in seqs])
         positions = jnp.asarray([s["pos"] for s in seqs])
@@ -156,7 +156,7 @@ class TestPagedDecode:
             solo_logits, solo_pools = paged.prefill_into_pages(
                 PARAMS, CFG, solo_pools, embeds, padded, PCFG
             )
-            solo_alloc.extend(table, s["pos"], s["pos"] + 1)
+            solo_alloc.extend(table, s["pos"] + 1)
             padded[: len(table)] = table
             step_logits, _ = paged.paged_decode_step(
                 PARAMS, CFG, solo_pools, jnp.asarray([s["tok"]]),
@@ -237,6 +237,37 @@ class TestPagedBatchServer:
             rserver.submit(r)
         assert rserver.run_until_drained() == dense2_out
         assert rserver.stats["preemptions"] == 0
+
+        # boundary validation at submit: a prompt ≥ max_seq_len (32 here)
+        # or a reserve-mode lifetime bigger than the whole pool can NEVER
+        # be served — admitted anyway they would crash _admit mid-batch
+        # (leaking blocks) or livelock the head of the queue
+        import pytest
+
+        vserver = PagedBatchServer(frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=2)
+        with pytest.raises(ValueError):
+            vserver.submit(make_req(50, pcfg.max_seq_len))
+        never_fits = make_req(51, 6)
+        never_fits.max_new_tokens = 10_000  # lifetime ≫ pool, capped by table
+        tiny_pool = paged.PagedConfig(block_size=4, num_blocks=4, max_blocks_per_seq=8)
+        tserver = PagedBatchServer(frozen, trainable, acfg, tok, pcfg=tiny_pool, max_slots=2)
+        with pytest.raises(ValueError):
+            tserver.submit(never_fits)
+
+        # mixed feature SHAPES with the same modality name must admit in
+        # separate batches (np.stack would raise post-allocation, leaking
+        # blocks) — outputs still match the dense server per request
+        mserver = PagedBatchServer(frozen, trainable, acfg, tok, pcfg=pcfg, max_slots=2)
+        shapeshift = make_req(60, 6)
+        shapeshift.features = {"face": shapeshift.features["face"][:5]}
+        mdense = BatchServer(frozen, trainable, acfg, tok, max_slots=2, max_len=64)
+        for r in (make_req(61, 7), shapeshift):
+            mserver.submit(r)
+            mdense.submit(r)
+        assert mserver.run_until_drained() == mdense.run_until_drained()
+
+        # pool dtype defaults to the weight dtype (f32 here), not f32-always
+        assert mserver.pools[0]["k"].dtype == jax.tree.leaves(frozen["llm"])[0].dtype
 
         # top-p sampling mode: same seed → deterministic, valid token ids
         outs = []
@@ -333,7 +364,7 @@ class TestInt8PagedPool:
         for _ in range(n_new - 1):
             if tokens[-1] == 257:
                 break
-            alloc.extend(table, pos, pos + 1)
+            alloc.extend(table, pos + 1)
             padded[: len(table)] = table
             logits, pools = paged.paged_decode_step(
                 PARAMS, CFG, pools, jnp.asarray([tokens[-1]]),

@@ -75,6 +75,61 @@ class TestBatchServer:
         # must exceed the best-case first-wave TTFT
         assert sla["ttft_max_ms"] >= sla["ttft_p50_ms"]
 
+    def test_mixed_feature_signatures_all_served(self):
+        # pending requests with different modality SIGNATURES (a shorter
+        # face feature sequence, and a text-only request) must be served
+        # in separate admissions — the union-of-modalities stacking used
+        # to KeyError/ValueError after the batch was dequeued, losing
+        # every request in it
+        server = BatchServer(FROZEN, TRAINABLE, CFG, TOK, max_slots=4, max_len=64)
+        reqs = [make_request(0, 7), make_request(1, 6)]
+        short = make_request(2, 7)
+        short.features = {"face": short.features["face"][:5]}
+        reqs.append(short)
+        rng = np.random.RandomState(99)
+        reqs.append(Request(
+            request_id=3, input_ids=rng.randint(1, 250, 6).astype(np.int32),
+            features={}, offsets={}, max_new_tokens=4,
+        ))
+        for r in reqs:
+            server.submit(r)
+        results = server.run_until_drained()
+        assert set(results) == {0, 1, 2, 3}
+        for r in reqs:
+            assert results[r.request_id] == reference_tokens(r), r.request_id
+
+    def test_overlong_prompt_rejected_at_submit(self):
+        import pytest
+
+        server = BatchServer(FROZEN, TRAINABLE, CFG, TOK, max_slots=2, max_len=64)
+        # == max_len would silently corrupt the last cache column on the
+        # first decode write; > max_len would crash _admit post-dequeue
+        with pytest.raises(ValueError):
+            server.submit(make_request(0, 64))
+        with pytest.raises(ValueError):
+            server.submit(make_request(0, 80))
+        # the longest admissible prompt serves normally (max_new=1 needs
+        # no decode cache write: first token comes from prefill logits)
+        edge = make_request(1, 63, max_new=1)
+        server.submit(edge)
+        results = server.run_until_drained()
+        assert results[1] == reference_tokens(edge)
+
+    def test_admission_sizes_share_bucketed_programs(self):
+        # admissions of size 1..max_slots must reuse power-of-two-bucketed
+        # prefill programs; dummy rows scatter out of bounds (dropped) and
+        # must not corrupt any live slot's cache
+        server = BatchServer(FROZEN, TRAINABLE, CFG, TOK, max_slots=4, max_len=64)
+        reqs = [make_request(i, 5 + i, max_new=6) for i in range(3)]  # size-3 → bucket 4
+        for r in reqs:
+            server.submit(r)
+        server.step()  # admission of 3 (1 dummy row) + first decode
+        late = make_request(7, 6, max_new=4)  # admits alone later (bucket 1)
+        server.submit(late)
+        results = server.run_until_drained()
+        for r in reqs + [late]:
+            assert results[r.request_id] == reference_tokens(r), r.request_id
+
     def test_slot_reuse_across_waves(self):
         server = BatchServer(FROZEN, TRAINABLE, CFG, TOK, max_slots=2, max_len=64)
         for rid in range(3):
