@@ -37,3 +37,9 @@ AUDIO_MEL_STD = 9.138
 # CLIP image normalization (reference: my_affectgpt/processors/video_processor.py:412-414).
 CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
 CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+# per-encoder processor stats (the reference runs each tower's own HF
+# AutoImageProcessor, encoder.py:221/262): DINOv2 = ImageNet, SigLIP = 0.5
+IMAGENET_IMAGE_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_IMAGE_STD = (0.229, 0.224, 0.225)
+SIGLIP_IMAGE_MEAN = (0.5, 0.5, 0.5)
+SIGLIP_IMAGE_STD = (0.5, 0.5, 0.5)

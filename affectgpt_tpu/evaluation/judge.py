@@ -174,14 +174,10 @@ class LLMJudge:
         out: List[str] = []
         for start in range(0, len(prompts), batch_size):
             chunk = prompts[start : start + batch_size]
-            encoded = [
-                [self.tokenizer.bos_token_id] + self.tokenizer.encode(p) for p in chunk
-            ]
-            lengths = np.array([len(e) for e in encoded], dtype=np.int32)
-            t_pad = int(lengths.max())
-            ids = np.zeros((len(encoded), t_pad), dtype=np.int32)
-            for i, e in enumerate(encoded):
-                ids[i, : len(e)] = e
+            from affectgpt_tpu.tokenization import encode_batch
+
+            ids, lengths = encode_batch(self.tokenizer, chunk)
+            t_pad = ids.shape[1]
             embeds = qwen2.embed_tokens(self.frozen_llm, jnp.asarray(ids))
             tokens, num_valid = gen.generate(
                 self.frozen_llm, self.llm_cfg, gcfg, embeds, jnp.asarray(lengths),

@@ -51,11 +51,16 @@ def encode_media_features(
             b, t = frames.shape[:2]
             flat = frames.reshape(b * t, *frames.shape[2:])
             out_size = getattr(vcfg, "image_size", 224)
-            prepped = jax.vmap(
-                lambda f: image_ops.preprocess_frames_eval(f, out_size=out_size)
-            )(flat[:, None])[:, :, 0]
-            # [b·t, 3, H, W] → [b·t, H, W, 3] → back to [b, t, H, W, 3]
-            prepped = jnp.transpose(prepped, (0, 2, 3, 1))
+            # the encoder's OWN processor stats (spec.normalize: CLIP vs
+            # ImageNet vs SigLIP — reference runs each tower's HF
+            # AutoImageProcessor); preprocess maps [T,H,W,C]→[C,T,S,S],
+            # transpose back to channels-last for the encoder batch
+            prepped = jnp.transpose(
+                image_ops.preprocess_frames_eval(
+                    flat, out_size=out_size, normalize=vis_spec.normalize
+                ),
+                (1, 2, 3, 0),
+            )
             prepped = prepped.reshape(b, t, *prepped.shape[1:])
             feats[m] = vis_spec.encode(frozen["visual_encoder"], vcfg, prepped)
     if "audio" in raw:
@@ -82,12 +87,26 @@ class Chat:
     # per token on decode-heavy reasoning outputs). Sampled requests
     # always take the standard path.
     speculative_draft_len: int = 0
+    # seeds the per-instance sampling stream used when answer_batch is
+    # called without an explicit rng — each call splits a fresh key, so
+    # repeated sampled calls differ (like the reference's torch global
+    # RNG) instead of silently reusing one fixed key
+    seed: int = 0
 
     def __post_init__(self):
         if self.kv_cache_dtype not in (None, "int8"):
             raise ValueError(
                 f"kv_cache_dtype must be None or 'int8', got {self.kv_cache_dtype!r}"
             )
+        self._rng = jax.random.PRNGKey(self.seed)
+        # single-token turn terminators (the reference stops generation at
+        # '###', conversation_video.py StoppingCriteria): included only
+        # when the active tokenizer encodes the string as ONE token —
+        # multi-token encodings are cut host-side by trim_output_text
+        self._stop_ids = tuple(
+            enc[0] for s in ("###",)
+            for enc in [self.tokenizer.encode(s)] if len(enc) == 1
+        )
         if self.mesh is not None:
             # sharded trees serve through plain jit (GSPMD): the fused
             # decode Pallas kernels have no partitioning rule and would
@@ -115,12 +134,9 @@ class Chat:
                 self.cfg.num_multi_query_token, self.cfg.num_image_query_token,
             )
             texts.append(p)
-        encoded = [[self.tokenizer.bos_token_id] + self.tokenizer.encode(t) for t in texts]
-        lengths = np.array([len(e) for e in encoded], dtype=np.int32)
-        t_pad = int(lengths.max())
-        ids = np.zeros((len(encoded), t_pad), dtype=np.int32)
-        for i, e in enumerate(encoded):
-            ids[i, : len(e)] = e
+        from affectgpt_tpu.tokenization import encode_batch
+
+        ids, lengths = encode_batch(self.tokenizer, texts)
 
         query_counts = {
             "frame": self.cfg.num_video_query_token,
@@ -179,8 +195,11 @@ class Chat:
             temperature=temperature,
             repetition_penalty=repetition_penalty,
             eos_token_id=self.tokenizer.eos_token_id,
+            stop_token_ids=self._stop_ids,
         )
-        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        if rng is None:
+            # advance the instance stream so repeated sampled calls differ
+            self._rng, rng = jax.random.split(self._rng)
         max_len = self.max_len
         cache_dtype = jnp.int8 if self.kv_cache_dtype == "int8" else None
         # the speculative path is greedy-only and has no penalty support —

@@ -427,11 +427,11 @@ def generate_speculative(
 
 
 def trim_output_text(text: str) -> str:
-    """Host-side stop-string cleanup matching the reference
-    (conversation_video.py:380-385): cut at '###', strip a trailing
-    '</s>', drop a leading 'Assistant:' remnant."""
-    text = text.split("###")[0]
+    """Host-side stop-string cleanup matching the reference EXACTLY
+    (conversation_video.py:381-388): strip at eos, cut at the LAST '###'
+    (the reference uses rsplit('###', 1), not a first-### cut), then take
+    the text after the last 'Assistant:' and strip — which also handles a
+    leading-space ' Assistant: ...' remnant a startswith check misses."""
     text = text.split("</s>")[0]
-    if text.startswith("Assistant:"):
-        text = text[len("Assistant:"):]
-    return text.strip()
+    text = text.rsplit("###", 1)[0]
+    return text.split("Assistant:")[-1].strip()

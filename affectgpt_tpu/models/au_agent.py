@@ -132,14 +132,10 @@ class AUAgent:
                 positions.append(i)
 
         if prompts:
-            encoded = [
-                [self.tokenizer.bos_token_id] + self.tokenizer.encode(p) for p in prompts
-            ]
-            lengths = np.array([len(e) for e in encoded], dtype=np.int32)
-            t_pad = int(lengths.max())
-            ids = np.zeros((len(encoded), t_pad), dtype=np.int32)
-            for i, e in enumerate(encoded):
-                ids[i, : len(e)] = e
+            from affectgpt_tpu.tokenization import encode_batch
+
+            ids, lengths = encode_batch(self.tokenizer, prompts)
+            t_pad = ids.shape[1]
             gcfg = gen.GenerateConfig(
                 max_new_tokens=self.max_new_tokens, do_sample=True,
                 temperature=self.temperature, top_p=self.top_p,

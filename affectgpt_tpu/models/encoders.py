@@ -29,6 +29,12 @@ class EncoderSpec:
     init_params: Callable  # (rng, cfg, dtype) -> params
     convert: Optional[Callable]  # model_dir -> params
     encode: Callable  # (params, cfg, batch) -> features
+    # pixel-normalization scheme of the tower's own image processor
+    # (reference runs each encoder's HF AutoImageProcessor,
+    # encoder.py:221/262): "clip" (OpenAI stats — CLIP and EVA/BLIP2),
+    # "imagenet" (DINOv2), "siglip" (0.5/0.5). ops/image.normalize_frames
+    # dispatches on it; acoustic specs ignore it.
+    normalize: str = "clip"
 
 
 def _encode_frames(encode_one):
@@ -69,6 +75,7 @@ DINO2_LARGE = _register(
         init_params=vit_variants.init_dinov2_params,
         convert=convert_mod.convert_dinov2,
         encode=_encode_frames(vit_variants.dinov2_encode),
+        normalize="imagenet",
     ),
 )
 
@@ -81,6 +88,7 @@ SigLIP_SO = _register(
         init_params=vit_variants.init_siglip_params,
         convert=convert_mod.convert_siglip_vision,
         encode=_encode_frames(vit_variants.siglip_encode),
+        normalize="siglip",
     ),
 )
 

@@ -38,6 +38,31 @@ def normalize_clip(frames: jnp.ndarray) -> jnp.ndarray:
     return (frames - CLIP_MEAN) / CLIP_STD
 
 
+# per-encoder normalization schemes — the reference runs each visual
+# tower's OWN HF AutoImageProcessor (encoder.py:221/262), so DINOv2 gets
+# ImageNet stats and SigLIP 0.5/0.5; CLIP and EVA/BLIP2 share the OpenAI
+# CLIP stats. EncoderSpec.normalize names the scheme.
+_NORM_STATS = {
+    "clip": (CLIP_MEAN, CLIP_STD),
+    "imagenet": (
+        jnp.asarray(constants.IMAGENET_IMAGE_MEAN, dtype=jnp.float32),
+        jnp.asarray(constants.IMAGENET_IMAGE_STD, dtype=jnp.float32),
+    ),
+    "siglip": (
+        jnp.asarray(constants.SIGLIP_IMAGE_MEAN, dtype=jnp.float32),
+        jnp.asarray(constants.SIGLIP_IMAGE_STD, dtype=jnp.float32),
+    ),
+}
+
+
+def normalize_frames(frames: jnp.ndarray, scheme: str = "clip") -> jnp.ndarray:
+    """uint8/float [..., H, W, C] in [0,255] → float32 normalized with the
+    named encoder scheme (see _NORM_STATS)."""
+    mean, std = _NORM_STATS[scheme]
+    frames = frames.astype(jnp.float32) / 255.0
+    return (frames - mean) / std
+
+
 def center_crop(frames: jnp.ndarray, size: int) -> jnp.ndarray:
     """Center-crop [..., H, W, C] to [..., size, size, C]."""
     h, w = frames.shape[-3], frames.shape[-2]
@@ -102,11 +127,14 @@ def preprocess_frames_train(
     return jnp.transpose(out, (3, 0, 1, 2))
 
 
-def preprocess_frames_eval(frames_u8: jnp.ndarray, out_size: int = 224) -> jnp.ndarray:
+def preprocess_frames_eval(
+    frames_u8: jnp.ndarray, out_size: int = 224, normalize: str = "clip"
+) -> jnp.ndarray:
     """[T, H, W, C] uint8 → [C, T, S, S] float32, eval transform
-    (resize + normalize; reference AlproVideoEvalProcessor)."""
+    (resize + normalize; reference AlproVideoEvalProcessor). `normalize`
+    selects the encoder's processor stats (see normalize_frames)."""
     out = resize(frames_u8.astype(jnp.float32), (out_size, out_size))
-    out = normalize_clip(out)
+    out = normalize_frames(out, normalize)
     return jnp.transpose(out, (3, 0, 1, 2))
 
 

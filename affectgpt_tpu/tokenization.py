@@ -180,3 +180,19 @@ class ByteTokenizer:
                 flush()
         flush()
         return "".join(out)
+
+
+def encode_batch(tokenizer, texts):
+    """bos + encode each text, right-padded to the batch max (the
+    reference's answer_sample prepends bos, conversation_video.py:303+).
+    Returns (ids [b, t_pad] int32, lengths [b] int32) — the shared prompt
+    staging used by chat.build_prompt_batch, AUAgent.describe_batch and
+    the LLM-judge batches (one implementation instead of three copies)."""
+    import numpy as np
+
+    encoded = [[tokenizer.bos_token_id] + tokenizer.encode(t) for t in texts]
+    lengths = np.array([len(e) for e in encoded], dtype=np.int32)
+    ids = np.zeros((len(encoded), int(lengths.max())), dtype=np.int32)
+    for i, e in enumerate(encoded):
+        ids[i, : len(e)] = e
+    return ids, lengths

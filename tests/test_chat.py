@@ -89,6 +89,44 @@ class TestSpeculativeChat:
         assert len(sampled) == 2
 
 
+class TestChatRngAndStops:
+    def test_omitted_rng_differs_across_sampled_calls(self):
+        # the instance sampling stream must ADVANCE when rng is omitted —
+        # a fixed default key made every sampled call byte-identical
+        features = {
+            "face": jnp.asarray(np.random.RandomState(0).randn(2, 8, CFG.visual_dim), jnp.float32),
+            "audio": jnp.asarray(np.random.RandomState(1).randn(2, 8, CFG.acoustic_dim), jnp.float32),
+        }
+        chat = Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024)
+        kwargs = dict(max_new_tokens=12, do_sample=True, temperature=5.0)
+        a = chat.answer_batch("multiface_audio_face_text", ["s1", "s2"], "Describe.",
+                              features, **kwargs)
+        b = chat.answer_batch("multiface_audio_face_text", ["s1", "s2"], "Describe.",
+                              features, **kwargs)
+        assert a != b  # hot temperature → overwhelmingly different samples
+        # same seed → the stream itself is reproducible across instances
+        chat2 = Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024)
+        assert chat2.answer_batch("multiface_audio_face_text", ["s1", "s2"],
+                                  "Describe.", features, **kwargs) == a
+
+    def test_single_token_stop_wired_from_tokenizer(self):
+        # ByteTokenizer encodes '###' as 3 byte tokens → no single-token stop
+        chat = Chat(FROZEN, TRAINABLE, CFG, ByteTokenizer(), max_len=1024)
+        assert chat._stop_ids == ()
+
+        # a tokenizer that encodes '###' as ONE token wires it as a stop id
+        class HashTok(ByteTokenizer):
+            HASH_ID = 300
+
+            def encode(self, text, max_length=None):
+                if text == "###":
+                    return [self.HASH_ID]
+                return super().encode(text, max_length)
+
+        chat2 = Chat(FROZEN, TRAINABLE, CFG, HashTok(), max_len=1024)
+        assert chat2._stop_ids == (HashTok.HASH_ID,)
+
+
 class TestEncodeMedia:
     def test_realtime_encode_shapes(self):
         vision_cfg = clip_vit.ClipVisionConfig.tiny()

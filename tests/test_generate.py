@@ -95,6 +95,16 @@ class TestGenerate:
     def test_trim_output_text(self):
         assert gen.trim_output_text("happy, sad###Human: more") == "happy, sad"
         assert gen.trim_output_text("Assistant: joy</s>") == "joy"
+        # reference parity (conversation_video.py:381-388): rsplit at the
+        # LAST '###', and 'Assistant:' handled via split()[-1].strip() so a
+        # leading space doesn't defeat the remnant drop
+        assert gen.trim_output_text(" Assistant: The person appears happy.###") \
+            == "The person appears happy."
+        assert gen.trim_output_text("a###b###Human:") == "a###b"
+        ref = lambda r: r.rsplit("###", 1)[0].split("Assistant:")[-1].strip()  # noqa: E731
+        for s in ["x###y", "Assistant: a### Assistant: b###", "no markers",
+                  "###", "  padded  ", "a###"]:
+            assert gen.trim_output_text(s) == ref(s), s
 
 
 class TestTopPWarperParity:

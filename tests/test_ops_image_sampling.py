@@ -76,6 +76,46 @@ class TestImageOps:
         exp = (1.0 - np.asarray(constants.CLIP_IMAGE_MEAN)) / np.asarray(constants.CLIP_IMAGE_STD)
         np.testing.assert_allclose(out[0, 0, 0], exp, rtol=1e-5)
 
+    def test_normalize_frames_schemes(self):
+        # per-encoder processor stats (the reference runs each tower's own
+        # HF AutoImageProcessor): clip == normalize_clip, imagenet/siglip
+        # use their constants; unknown scheme fails loudly
+        import pytest
+
+        x = np.random.RandomState(0).randint(0, 256, (2, 4, 4, 3)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(image_ops.normalize_frames(x, "clip")),
+            np.asarray(image_ops.normalize_clip(x)),
+        )
+        for scheme, mean, std in [
+            ("imagenet", constants.IMAGENET_IMAGE_MEAN, constants.IMAGENET_IMAGE_STD),
+            ("siglip", constants.SIGLIP_IMAGE_MEAN, constants.SIGLIP_IMAGE_STD),
+        ]:
+            out = np.asarray(image_ops.normalize_frames(x, scheme))
+            exp = (x / 255.0 - np.asarray(mean)) / np.asarray(std)
+            np.testing.assert_allclose(out, exp, rtol=1e-5, atol=1e-6)
+        with pytest.raises(KeyError):
+            image_ops.normalize_frames(x, "nope")
+
+    def test_encoder_specs_carry_processor_scheme(self):
+        from affectgpt_tpu.models import encoders as zoo
+
+        assert zoo.get_visual_encoder("CLIP_VIT_LARGE").normalize == "clip"
+        assert zoo.get_visual_encoder("DINO2_LARGE").normalize == "imagenet"
+        assert zoo.get_visual_encoder("SigLIP_SO").normalize == "siglip"
+        assert zoo.get_visual_encoder("EVA_CLIP_G").normalize == "clip"
+
+    def test_preprocess_eval_batched_equals_per_image(self):
+        # the chat realtime path preprocesses the whole [b·t] batch in one
+        # call — must equal the per-image formulation exactly
+        x = np.random.RandomState(1).randint(0, 256, (5, 32, 40, 3)).astype(np.uint8)
+        batched = np.asarray(image_ops.preprocess_frames_eval(x, out_size=16))
+        for i in range(x.shape[0]):
+            single = np.asarray(
+                image_ops.preprocess_frames_eval(x[i : i + 1], out_size=16)
+            )
+            np.testing.assert_allclose(batched[:, i], single[:, 0], rtol=1e-6)
+
     def test_resize_shape_and_constant(self):
         x = np.full((3, 50, 60, 3), 7.0, dtype=np.float32)
         out = np.asarray(image_ops.resize(x, (224, 224)))
