@@ -36,6 +36,7 @@ def save_checkpoint(
     step: int = 0,
     loss: Optional[float] = None,
     config: Optional[dict] = None,
+    best_val: Optional[float] = None,
 ) -> str:
     """Save trainable params (+ optimizer state for resume). Frozen weights
     are never written — the reference's requires_grad filter.
@@ -70,11 +71,19 @@ def save_checkpoint(
     }
     if opt_state is not None:
         payload["opt_state"] = fetch(opt_state)
+    if best_val is not None and np.isfinite(best_val):
+        payload["best_val"] = np.float64(best_val)
     # Orbax save is itself a collective in multiprocess runs (internal
     # global sync) — EVERY process calls it; orbax writes host-replicated
-    # numpy values from the primary host only.
-    _checkpointer().save(path, payload)
-    if config is not None:
+    # numpy values from the primary host only. force=True overwrites an
+    # existing checkpoint of the same name (torch.save semantics — a
+    # re-run over the same output_dir otherwise dies on the deterministic
+    # epoch-0 checkpoint name).
+    _checkpointer().save(path, payload, force=True)
+    if config is not None and jax.process_index() == 0:
+        # the function's contract: only process 0 touches the filesystem
+        # outside orbax (concurrent json.dump from every host can corrupt
+        # the file on a shared filesystem)
         import json
 
         with open(os.path.join(path, "config.json"), "w") as handle:
@@ -82,8 +91,15 @@ def save_checkpoint(
     return path
 
 
-def load_checkpoint(path: str) -> dict:
-    return _checkpointer().restore(os.path.abspath(path))
+def load_checkpoint(path: str, template: Any = None) -> dict:
+    """Restore a checkpoint. `template` (optional) is a pytree of the same
+    STRUCTURE as the saved payload: orbax restores plain dicts/lists by
+    default, which destroys optax NamedTuple structure (MultiStepsState /
+    ScaleByAdamState) — pass a template to get the real structure back
+    (required before feeding opt_state to a compiled step)."""
+    if template is None:
+        return _checkpointer().restore(os.path.abspath(path))
+    return _checkpointer().restore(os.path.abspath(path), item=template)
 
 
 def _overlay(base: Any, update: Any, _path: str = "", _unknown: Optional[list] = None) -> Any:
@@ -122,14 +138,21 @@ def _migrate_legacy_mergers(update: Any) -> Any:
     if "frame" not in mergers and "face" not in mergers:
         return update
     migrated = {k: v for k, v in mergers.items() if k not in ("frame", "face")}
-    if "video" not in migrated and "frame" in mergers:
-        migrated["video"] = mergers["frame"]
+    source = None
+    if "video" not in migrated:
+        # prefer frame (it and face fed the same shared merger with summed
+        # grads, so either copy is the trained merger); a face-only legacy
+        # run must migrate face → video rather than dropping its only
+        # trained merger and leaving video at random init
+        source = "frame" if "frame" in mergers else "face"
+        migrated["video"] = mergers[source]
     import logging
 
     logging.getLogger(__name__).warning(
-        "checkpoint: legacy modality-keyed mergers migrated (frame->video"
-        "%s); re-save to silence this",
-        ", face weights dropped" if "face" in mergers else "",
+        "checkpoint: legacy modality-keyed mergers migrated (%s->video%s); "
+        "re-save to silence this",
+        source or "none",
+        ", face weights dropped" if ("face" in mergers and source != "face") else "",
     )
     out = dict(update)
     out["mergers"] = migrated
@@ -172,7 +195,7 @@ def list_checkpoints(output_dir: str):
 def discover_checkpoint_root(result_root: str) -> Optional[str]:
     """Pick the run directory with the most checkpoints (the reference's
     auto-discovery, inference_hybird.py:32-54)."""
-    best, best_count = None, -1
+    best, best_count = None, 0  # a dir with ZERO checkpoints never wins
     for candidate in glob.glob(os.path.join(result_root, "*")):
         if not os.path.isdir(candidate):
             continue

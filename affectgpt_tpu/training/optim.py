@@ -124,12 +124,23 @@ def make_optimizer(
     max_grad_norm: Optional[float] = None,
     accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    if accum_steps > 1:
+        # MultiSteps applies the inner update once per k micro-iterations,
+        # so adamw's schedule count ticks at UPDATE resolution while the
+        # runner (and the reference, per-iteration scheduler.step) index
+        # the schedule by micro-iteration. Rescale so the lr applied at
+        # update u equals the iteration-resolution schedule at u·k —
+        # otherwise warmup lasts k× longer and the cosine never decays
+        # past 1/k of its range.
+        inner_schedule = lambda count: schedule(count * accum_steps)  # noqa: E731
+    else:
+        inner_schedule = schedule
     chain = []
     if max_grad_norm:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
     chain.append(
         optax.adamw(
-            learning_rate=schedule,
+            learning_rate=inner_schedule,
             b1=0.9,
             b2=beta2,
             weight_decay=weight_decay,

@@ -161,13 +161,20 @@ class Runner:
         self.loader = MultiIterLoader(loaders, ratios, seed=int(run.get("seed", 42)))
 
         # optional validation (reference runner_base.py:385-446 evaluate +
-        # best-checkpoint): a held-out loader + compiled eval (loss-only) step
+        # best-checkpoint): a loss-only eval loop over an INDEPENDENT
+        # sample stream of the first training corpus. NOTE this is
+        # eval-mode loss on training-distribution data (the reference's
+        # valid splits are separate asset files this config schema does
+        # not carry) — it tracks fit/divergence, not generalization.
+        # proc_off keeps per-host val shards disjoint in multihost runs,
+        # same as the train loaders.
         self.evaluate = bool(run.get("evaluate", False))
         self.val_iters = int(run.get("val_iters", 20))
         self._val_loader = None
         if self.evaluate and datasets:
             self._val_loader = IterLoader(
-                datasets[0], self.batch_size, seed=int(run.get("seed", 42)) + 999
+                datasets[0], self.batch_size,
+                seed=int(run.get("seed", 42)) + 999 + proc_off,
             )
             cfg_model = model_cfg
 
@@ -194,13 +201,33 @@ class Runner:
         resume = run.get("resume_ckpt_path")
         if resume:
             payload = checkpoint.load_checkpoint(resume)
+            opt_state = self.state.opt_state
+            if "opt_state" in payload:
+                # orbax restores plain dicts — re-restore with the live
+                # opt_state as the structure template so optax NamedTuples
+                # (MultiStepsState/ScaleByAdamState) come back intact;
+                # field-name mapping, not leaf order, so it is safe
+                template = {
+                    "trainable": payload["trainable"],
+                    "epoch": payload["epoch"],
+                    "step": payload["step"],
+                    "opt_state": jax.tree.map(np.asarray, jax.device_get(opt_state)),
+                }
+                if "best_val" in payload:
+                    template["best_val"] = payload["best_val"]
+                payload = checkpoint.load_checkpoint(resume, template=template)
+                opt_state = payload["opt_state"]
             self.state = train_step.TrainState(
                 step=jax.device_put(np.int32(payload["step"])),
                 trainable=payload["trainable"],
-                opt_state=payload.get("opt_state", self.state.opt_state),
+                opt_state=opt_state,
             )
             self.state = train_step.shard_state(self.mesh, self.state)
-            self.start_epoch = int(payload["epoch"]) + 1
+            # checkpoints are saved with epoch = EPOCHS COMPLETED, so the
+            # next epoch index to train IS payload["epoch"] (a +1 here
+            # would silently skip one full epoch)
+            self.start_epoch = int(payload["epoch"])
+            self.best_val = float(payload.get("best_val", float("inf")))
             logger.info("Resumed from %s at epoch %d", resume, self.start_epoch)
 
     def _put(self, array, sharding):
@@ -245,8 +272,12 @@ class Runner:
                 batch = next(prefetcher)
                 self.state, metrics = self.step_fn(self.state, self.frozen, batch)
                 step = epoch * self.iters_per_epoch + it
-                lr = float(self.schedule(step))
                 if it % self.log_freq == 0 or it == self.iters_per_epoch - 1:
+                    # schedule() is a jnp closure — evaluate it only at log
+                    # boundaries, or every iteration pays a device→host
+                    # round trip that serializes the loop with the
+                    # in-flight step on the single-ordered-stream relay
+                    lr = float(self.schedule(step))
                     loss = float(metrics["loss"])  # host sync point
                     metrics_log.update(loss=loss, lr=lr)
                     self.visualizer.record(loss=loss, lr=lr)
@@ -305,5 +336,8 @@ class Runner:
                 opt_state=self.state.opt_state,
                 step=int(self.state.step), loss=stats.get("loss"),
                 config=self.cfg.to_dict(),
+                # carried so a resumed run doesn't re-declare a worse
+                # post-crash val_loss as a "new best" checkpoint
+                best_val=self.best_val,
             )
         logger.info("Training complete: %d epochs in %s", self.max_epoch, self.output_dir)

@@ -50,7 +50,10 @@ def main() -> None:
 
     cfg = Config.from_file(args.cfg_path, options=args.options)
     setup_seeds(int(cfg.run.get("seed", 42)))
-    job_id = datetime.datetime.now().strftime("%Y%m%d%H%M")
+    # run.job_id overrides the timestamp (deterministic run dirs for
+    # scripted resume/A-B workflows; the default mirrors the reference's
+    # now() job id, runner_base.py setup_output_dir)
+    job_id = str(cfg.run.get("job_id") or datetime.datetime.now().strftime("%Y%m%d%H%M"))
 
     model_cfg, frozen, trainable, tokenizer = build_model(
         cfg, with_encoders=not cfg.model.get("skip_encoders", False)
